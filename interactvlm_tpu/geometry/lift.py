@@ -1,0 +1,162 @@
+"""2D->3D contact lifting: batched ``segment_sum`` scatter.
+
+TPU-native replacement for the reference's per-sample, per-view Python loops
+with ``scatter_add_`` (``model/components.py:195-489``). All three predictor
+variants are reproduced with identical math, but as single fused scatters
+over ``view * vertex`` segments, fully jittable and vmappable over batch.
+
+Variants (reference file:line):
+- soft barycentric lift onto a fixed-topology mesh, used for the SMPL human
+  body (``HumanContact3DPredictor``, components.py:220-277). Keeps the
+  FIX.md soft-sigmoid gradient path (logits clamped to [-20, 20]).
+- thresholded barycentric lift onto arbitrary object meshes
+  (``ObjectMeshContact3DPredictor._process_view``, components.py:445-489).
+- point-cloud lift via a single pixel->point index map
+  (``ObjectPCAfford3DPredictor._process_view``, components.py:318-347).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _per_view_normalized_scatter(values, weights, ids, num_views, num_vertices):
+    """Shared core: scatter ``weights * values`` and ``weights`` onto
+    ``num_views * num_vertices`` segments, normalize per view, then average
+    over the views in which each vertex received any weight.
+
+    Args:
+      values: (K,) flat per-candidate contribution (e.g. probabilities).
+      weights: (K,) flat per-candidate weight (bary coords or 1s); invalid
+        candidates must already carry weight 0 and id == V * N (dump slot).
+      ids: (K,) int32 segment ids ``view * N + vertex`` (dump: V * N).
+
+    Returns:
+      (N,) lifted values in the reference's normalization, and the per-vertex
+      view count (N,).
+    """
+    n_seg = num_views * num_vertices + 1
+    votes = jax.ops.segment_sum(weights * values, ids, num_segments=n_seg)
+    wsum = jax.ops.segment_sum(weights, ids, num_segments=n_seg)
+    votes = votes[:-1].reshape(num_views, num_vertices)
+    wsum = wsum[:-1].reshape(num_views, num_vertices)
+
+    seen = wsum > 0
+    view_vote = jnp.where(seen, votes / jnp.where(seen, wsum, 1.0), 0.0)
+    view_count = seen.sum(axis=0).astype(votes.dtype)
+    total = view_vote.sum(axis=0)
+    out = jnp.where(view_count > 0, total / jnp.where(view_count > 0, view_count, 1.0), 0.0)
+    return out, view_count
+
+
+def _flat_ids_and_weights(p2v, bary, num_views, num_vertices, select):
+    """Flatten (V, H, W, 3) maps into candidate streams.
+
+    ``select``: (V, H, W) float multiplier on the weights (validity and/or
+    threshold selection).
+    """
+    valid = jnp.all((p2v >= 0) & (p2v < num_vertices), axis=-1)  # (V, H, W)
+    sel = valid.astype(bary.dtype) * select
+    view_idx = jax.lax.broadcasted_iota(jnp.int32, p2v.shape, 0)
+    ids = jnp.where(
+        (valid & (select > 0))[..., None],
+        view_idx * num_vertices + jnp.clip(p2v, 0, num_vertices - 1),
+        num_views * num_vertices,
+    )
+    weights = bary * sel[..., None]
+    return ids.reshape(-1), weights.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_vertices",))
+def lift_multiview_soft(logits, p2v, bary, num_vertices: int):
+    """Soft multi-view lift for fixed-topology meshes (SMPL body).
+
+    Reference semantics (``components.py:220-277``): per view,
+    ``sigmoid(clamp(logits, -20, 20))`` is scattered with barycentric weights
+    onto vertices and normalized by the scattered weight mass; views are then
+    averaged per-vertex over the views that saw the vertex; final clamp to
+    [0, 1].
+
+    Args:
+      logits: (V, H, W) mask logits.
+      p2v: (V, H, W, 3) int32 pixel->vertex map (-1 invalid).
+      bary: (V, H, W, 3) barycentric weights.
+    Returns: (num_vertices,) contact probabilities in [0, 1].
+    """
+    V = logits.shape[0]
+    probs = jax.nn.sigmoid(jnp.clip(logits.astype(jnp.float32), -20.0, 20.0))
+    ids, weights = _flat_ids_and_weights(
+        p2v, bary.astype(jnp.float32), V, num_vertices,
+        jnp.ones_like(probs),
+    )
+    values = jnp.broadcast_to(probs[..., None], p2v.shape).reshape(-1)
+    out, _ = _per_view_normalized_scatter(values, weights, ids, V, num_vertices)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_vertices",))
+def lift_multiview_thresholded(
+    logits, p2v, bary, num_vertices: int, threshold: float = 0.3
+):
+    """Thresholded lift for arbitrary object meshes.
+
+    Reference semantics (``components.py:445-489``): pixels with
+    ``sigmoid(logit) > threshold`` scatter their probability with barycentric
+    weights; per-view normalize by scattered weight; average over views that
+    saw the vertex. The hard selection carries no gradient (the reference
+    boolean-indexes); probabilities do.
+    """
+    V = logits.shape[0]
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    sel = jax.lax.stop_gradient((probs > threshold).astype(jnp.float32))
+    ids, weights = _flat_ids_and_weights(
+        p2v, bary.astype(jnp.float32), V, num_vertices, sel
+    )
+    values = jnp.broadcast_to(probs[..., None], p2v.shape).reshape(-1)
+    out, _ = _per_view_normalized_scatter(values, weights, ids, V, num_vertices)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_points",))
+def lift_multiview_points(values, p2p, num_points: int):
+    """Point-cloud lift via a single pixel->point index map.
+
+    Reference semantics (``components.py:318-347``): raw per-pixel values
+    (already in (0, 1) for heatmap view types) are averaged per point per
+    view, then averaged over the views in which each point is visible.
+
+    Args:
+      values: (V, H, W) per-pixel values.
+      p2p: (V, H, W) int32 pixel->point map (-1 invalid).
+    Returns: (num_points,) lifted values.
+    """
+    V = values.shape[0]
+    valid = (p2p >= 0) & (p2p < num_points)
+    view_idx = jax.lax.broadcasted_iota(jnp.int32, p2p.shape, 0)
+    ids = jnp.where(
+        valid,
+        view_idx * num_points + jnp.clip(p2p, 0, num_points - 1),
+        V * num_points,
+    ).reshape(-1)
+    weights = valid.astype(jnp.float32).reshape(-1)
+    out, _ = _per_view_normalized_scatter(
+        values.astype(jnp.float32).reshape(-1), weights, ids, V, num_points
+    )
+    return out
+
+
+def lift_batch_soft(logits, p2v, bary, num_vertices: int, active=None):
+    """Batched soft lift: (B, V, H, W) -> (B, N).
+
+    ``active``: optional (B,) bool -- samples whose dataset is not an
+    hcontact task contribute zeros (reference components.py:229-231).
+    """
+    out = jax.vmap(lambda lg: lift_multiview_soft(lg, p2v, bary, num_vertices))(
+        logits
+    )
+    if active is not None:
+        out = jnp.where(active[:, None], out, 0.0)
+    return out

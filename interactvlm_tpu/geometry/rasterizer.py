@@ -1,0 +1,205 @@
+"""Batched XLA mesh rasterization producing pixel->face / pixel->vertex +
+barycentric maps.
+
+TPU-native replacement for the PyTorch3D CUDA rasterizer used by the
+reference for data generation and the 2D<->3D lift maps
+(``preprocess_data/render_mesh_utils.py:115-174``). Instead of a per-pixel
+face loop, each face emits a fixed ``window x window`` block of candidate
+pixels; a two-pass ``segment_min`` z-buffer resolves visibility. Everything
+is static-shaped and jit-compiles to gathers/scatters, which XLA maps well
+onto TPU.
+
+Conventions (matching the reference / PyTorch3D, see ``cameras.py``):
+- screen-space (non-perspective-correct) barycentrics, like the reference's
+  rasterization settings (``blur_radius=0``, ``faces_per_pixel=1``);
+- ties in depth resolved toward the lower face index;
+- pixels with no face get ``pix_to_face = -1`` and zero barycentrics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from interactvlm_tpu.geometry.cameras import camera_from_params, project_points
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "window", "fov_degrees")
+)
+def rasterize_mesh(
+    verts,
+    faces,
+    cam_params,
+    image_size: int,
+    window: int = 32,
+    fov_degrees: float = 60.0,
+    znear: float = 0.05,
+):
+    """Rasterize one mesh under one camera.
+
+    Args:
+      verts: (N, 3) float world-space vertices.
+      faces: (F, 3) int vertex indices.
+      cam_params: (5,) ``(dist, elev, azim, tx, ty)``.
+      image_size: output resolution S (square).
+      window: static per-face candidate block size in pixels; must be >= the
+        largest projected triangle bbox (see ``pick_window``).
+
+    Returns:
+      pix_to_face: (S, S) int32, -1 where empty.
+      bary: (S, S, 3) float32 barycentric coords of the visible face.
+      zbuf: (S, S) float32 camera-space depth (+inf where empty).
+    """
+    S = image_size
+    R, T = camera_from_params(cam_params)
+    pix, z = project_points(verts, R, T, S, fov_degrees)  # (N,2), (N,)
+
+    F = faces.shape[0]
+    tri_xy = pix[faces]  # (F, 3, 2)
+    tri_z = z[faces]  # (F, 3)
+
+    # Candidate pixel block per face, anchored at the bbox minimum.
+    x0 = jnp.floor(jnp.min(tri_xy[:, :, 0], axis=1)).astype(jnp.int32)
+    y0 = jnp.floor(jnp.min(tri_xy[:, :, 1], axis=1)).astype(jnp.int32)
+    # Clamp the anchor into the frame so off-screen faces don't wrap.
+    x0 = jnp.clip(x0, -window, S)
+    y0 = jnp.clip(y0, -window, S)
+
+    ox = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1).reshape(-1)
+    oy = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0).reshape(-1)
+    px = x0[:, None] + ox[None, :]  # (F, W2) int
+    py = y0[:, None] + oy[None, :]
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+
+    ax, ay = tri_xy[:, 0, 0], tri_xy[:, 0, 1]
+    bx, by = tri_xy[:, 1, 0], tri_xy[:, 1, 1]
+    cx, cy = tri_xy[:, 2, 0], tri_xy[:, 2, 1]
+
+    def edge(ox_, oy_, dx_, dy_):
+        # cross(d - o, p - o): signed area of (o, d, p) for all candidate
+        # pixels of each face, consistent in sign with ``area`` below.
+        return (dx_ - ox_)[:, None] * (pyf - oy_[:, None]) - (
+            dy_ - oy_
+        )[:, None] * (pxf - ox_[:, None])
+
+    w0 = edge(bx, by, cx, cy)  # opposite vertex a
+    w1 = edge(cx, cy, ax, ay)  # opposite vertex b
+    w2 = edge(ax, ay, bx, by)  # opposite vertex c
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)  # (F,)
+    denom = jnp.where(jnp.abs(area) < 1e-12, 1.0, area)[:, None]
+    b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+
+    inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+    z_interp = (
+        b0 * tri_z[:, 0:1] + b1 * tri_z[:, 1:2] + b2 * tri_z[:, 2:3]
+    )  # (F, W2)
+
+    in_bounds = (px >= 0) & (px < S) & (py >= 0) & (py < S)
+    valid = (
+        inside
+        & in_bounds
+        & (z_interp > znear)
+        & (jnp.abs(area) > 1e-12)[:, None]
+    )
+
+    n_pix = S * S
+    pixel_id = jnp.where(valid, py * S + px, n_pix).reshape(-1)
+    face_id = jax.lax.broadcasted_iota(jnp.int32, z_interp.shape, 0).reshape(-1)
+
+    BIG = jnp.float32(jnp.inf)
+    z_flat = jnp.where(valid, z_interp, BIG).reshape(-1)
+
+    # Pass 1: depth per pixel.
+    zmin = jax.ops.segment_min(
+        z_flat, pixel_id, num_segments=n_pix + 1, indices_are_sorted=False
+    )
+    at_front = valid.reshape(-1) & (z_flat <= zmin[pixel_id])
+
+    # Pass 2: break depth ties toward the smallest face index.
+    INT_BIG = jnp.int32(2**30)
+    face_masked = jnp.where(at_front, face_id, INT_BIG)
+    winner = jax.ops.segment_min(face_masked, pixel_id, num_segments=n_pix + 1)
+    is_winner = at_front & (face_id == winner[pixel_id])
+
+    # Pass 3: scatter the winning candidate's barycentrics.
+    wf = is_winner.astype(jnp.float32)
+    bary_flat = jnp.stack(
+        [b0.reshape(-1) * wf, b1.reshape(-1) * wf, b2.reshape(-1) * wf], axis=-1
+    )
+    bary = jax.ops.segment_sum(bary_flat, pixel_id, num_segments=n_pix + 1)
+
+    pix_to_face = jnp.where(
+        winner[:n_pix] < INT_BIG, winner[:n_pix], -1
+    ).reshape(S, S)
+    zbuf = zmin[:n_pix].reshape(S, S)
+    bary = bary[:n_pix].reshape(S, S, 3)
+    return pix_to_face.astype(jnp.int32), bary, zbuf
+
+
+def pick_window(verts, faces, cam_params, image_size, fov_degrees=60.0):
+    """Host-side helper: the smallest safe static ``window`` for a mesh/view
+    (max projected triangle bbox extent + 2). Run outside jit."""
+    pix, _ = project_points(
+        jnp.asarray(verts), *camera_from_params(jnp.asarray(cam_params))[:2],
+        image_size, fov_degrees,
+    )
+    pix = np.asarray(pix)
+    tri = pix[np.asarray(faces)]  # (F, 3, 2)
+    ext = tri.max(axis=1) - np.floor(tri.min(axis=1))
+    w = int(np.ceil(ext.max())) + 2
+    return max(w, 4)
+
+
+def faces_contact_mask(faces, contact_vertex_mask, min_vertices: int = 2):
+    """Per-face flag: does the face touch >= ``min_vertices`` contact verts?
+
+    Reference: ``render_mesh_utils.py:138-143`` (``min_vertices=2`` per the
+    FIX.md release notes).
+    """
+    counts = contact_vertex_mask.astype(jnp.int32)[faces].sum(axis=-1)
+    return counts >= min_vertices
+
+
+def contact_mask_from_fragments(
+    pix_to_face, faces, contact_vertex_mask, min_vertices: int = 2
+):
+    """GT contact mask for one rendered view (uint8 {0, 255} semantics -> we
+    return boolean). Reference: ``render_mesh_utils.py:138-143``."""
+    face_flag = faces_contact_mask(faces, contact_vertex_mask, min_vertices)
+    safe = jnp.clip(pix_to_face, 0, faces.shape[0] - 1)
+    return jnp.where(pix_to_face >= 0, face_flag[safe], False)
+
+
+def build_lift_maps(
+    verts,
+    faces,
+    cam_params_per_view,
+    image_size: int,
+    window: int = 32,
+    fov_degrees: float = 60.0,
+):
+    """Build per-view pixel->vertex + barycentric lift maps.
+
+    Replaces the p2v/bary npz generation of the reference
+    (``render_mesh_utils.py:145-174``). Returns:
+      p2v: (V, S, S, 3) int32 vertex ids (-1 where empty),
+      bary: (V, S, S, 3) float32,
+      pix_to_face: (V, S, S) int32.
+    """
+
+    def one_view(cp):
+        pix_to_face, bary, _ = rasterize_mesh(
+            verts, faces, cp, image_size, window, fov_degrees
+        )
+        safe = jnp.clip(pix_to_face, 0, faces.shape[0] - 1)
+        p2v = jnp.where(
+            (pix_to_face >= 0)[..., None], faces[safe], -1
+        ).astype(jnp.int32)
+        return p2v, bary, pix_to_face
+
+    return jax.vmap(one_view)(jnp.asarray(cam_params_per_view))

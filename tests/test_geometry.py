@@ -1,0 +1,304 @@
+"""Geometry core tests: cameras, rasterizer, and the 2D<->3D lift.
+
+The round-trip invariant mirrors the reference's
+``verify_contact_reconstruction_diff`` (render_mesh_utils.py:200-235):
+project GT contact vertices to multi-view masks, lift them back, and check
+the reconstructed vertex set against the original.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from interactvlm_tpu.geometry import (
+    HUMAN_VIEWS,
+    OBJECT_VIEWS,
+    build_lift_maps,
+    contact_mask_from_fragments,
+    lift_multiview_points,
+    lift_multiview_soft,
+    lift_multiview_thresholded,
+    rasterize_mesh,
+)
+from interactvlm_tpu.geometry.cameras import (
+    camera_from_params,
+    project_points,
+)
+from interactvlm_tpu.geometry.rasterizer import pick_window
+from interactvlm_tpu.geometry.views import normalize_cam_params
+
+
+def uv_sphere(n_lat=24, n_lon=32, radius=0.8):
+    """Simple UV sphere mesh (poles + quads split into triangles)."""
+    verts = [(0.0, radius, 0.0)]
+    for i in range(1, n_lat):
+        theta = np.pi * i / n_lat
+        for j in range(n_lon):
+            phi = 2 * np.pi * j / n_lon
+            verts.append(
+                (
+                    radius * np.sin(theta) * np.cos(phi),
+                    radius * np.cos(theta),
+                    radius * np.sin(theta) * np.sin(phi),
+                )
+            )
+    verts.append((0.0, -radius, 0.0))
+    verts = np.array(verts, dtype=np.float32)
+
+    faces = []
+    # top cap
+    for j in range(n_lon):
+        faces.append((0, 1 + j, 1 + (j + 1) % n_lon))
+    # bands
+    for i in range(n_lat - 2):
+        ring0 = 1 + i * n_lon
+        ring1 = 1 + (i + 1) * n_lon
+        for j in range(n_lon):
+            a = ring0 + j
+            b = ring0 + (j + 1) % n_lon
+            c = ring1 + j
+            d = ring1 + (j + 1) % n_lon
+            faces.append((a, c, b))
+            faces.append((b, c, d))
+    # bottom cap
+    last = len(verts) - 1
+    ring = 1 + (n_lat - 2) * n_lon
+    for j in range(n_lon):
+        faces.append((last, ring + (j + 1) % n_lon, ring + j))
+    return verts, np.array(faces, dtype=np.int32)
+
+
+class TestCameras:
+    def test_origin_projects_to_center(self):
+        S = 64
+        R, T = camera_from_params(jnp.array([2.0, 30.0, 45.0, 0.0, 0.0]))
+        pix, z = project_points(jnp.zeros((1, 3)), R, T, S)
+        assert np.allclose(np.asarray(pix)[0], (S - 1) / 2, atol=1e-4)
+        assert np.isclose(float(z[0]), 2.0, atol=1e-5)
+
+    def test_depth_increases_away_from_camera(self):
+        R, T = camera_from_params(jnp.array([2.0, 0.0, 0.0, 0.0, 0.0]))
+        # camera sits at +z=2 looking toward origin along -z... points with
+        # larger world z are closer to the camera.
+        pts = jnp.array([[0.0, 0.0, 0.5], [0.0, 0.0, -0.5]])
+        _, z = project_points(pts, R, T, 64)
+        assert float(z[0]) < float(z[1])
+
+    def test_view_registry(self):
+        hv = HUMAN_VIEWS["4MV-Z_Vitru_mv2"]
+        assert hv.num_views == 4 and hv.num_vertices == 6890
+        assert hv.names == ("topfront", "bottomfront", "topback", "bottomback")
+        cams = hv.cam_params()
+        assert cams.shape == (4, 5)
+        assert cams[1][4] == pytest.approx(0.3)  # bottomfront ty
+        ov = OBJECT_VIEWS["10MV-Z_HM"]
+        assert ov.num_views == 10 and ov.heatmap
+
+    def test_normalize_cam_params(self):
+        p = np.array([[2.0, 315.0, 135.0, 0.0, 0.3]])
+        n = normalize_cam_params(p)
+        assert n[0, 0] == pytest.approx(2.0 / 3.0)
+        assert n[0, 1] == pytest.approx(-45.0 / 90.0)  # 315 wraps to -45
+        assert n[0, 2] == pytest.approx(135.0 / 180.0)
+
+
+class TestRasterizer:
+    def test_single_triangle_center_hit(self):
+        S = 32
+        verts = jnp.array(
+            [[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.0, 0.6, 0.0]],
+            dtype=jnp.float32,
+        )
+        faces = jnp.array([[0, 1, 2]], dtype=jnp.int32)
+        cam = jnp.array([2.0, 0.0, 0.0, 0.0, 0.0])
+        p2f, bary, zbuf = rasterize_mesh(verts, faces, cam, S, window=S)
+        p2f = np.asarray(p2f)
+        assert p2f[S // 2, S // 2] == 0  # center covered
+        assert (p2f >= 0).sum() > 20
+        # barycentrics sum to 1 on covered pixels
+        covered = p2f >= 0
+        s = np.asarray(bary).sum(-1)
+        assert np.allclose(s[covered], 1.0, atol=1e-4)
+        assert np.all(np.asarray(zbuf)[covered] > 0)
+
+    def test_depth_ordering(self):
+        S = 32
+        # two stacked triangles; the nearer one (larger world z, camera at
+        # +z) must win the z-buffer.
+        verts = jnp.array(
+            [
+                [-0.5, -0.5, 0.0], [0.5, -0.5, 0.0], [0.0, 0.6, 0.0],  # far
+                [-0.5, -0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.6, 0.5],  # near
+            ],
+            dtype=jnp.float32,
+        )
+        faces = jnp.array([[0, 1, 2], [3, 4, 5]], dtype=jnp.int32)
+        cam = jnp.array([2.0, 0.0, 0.0, 0.0, 0.0])
+        p2f, _, _ = rasterize_mesh(verts, faces, cam, S, window=S)
+        center = int(np.asarray(p2f)[S // 2, S // 2])
+        assert center == 1
+
+    def test_sphere_coverage_and_silhouette(self):
+        verts, faces = uv_sphere()
+        S = 96
+        w = pick_window(verts, faces, np.array([2.0, 45.0, 315.0, 0, 0]), S)
+        p2f, bary, _ = rasterize_mesh(
+            jnp.asarray(verts), jnp.asarray(faces),
+            jnp.array([2.0, 45.0, 315.0, 0.0, 0.0]), S, window=w,
+        )
+        p2f = np.asarray(p2f)
+        covered = p2f >= 0
+        frac = covered.mean()
+        # sphere of radius .8 at dist 2 with fov 60 covers a sizable disk
+        assert 0.1 < frac < 0.9
+        # silhouette should be a filled disk: interior of the bounding box of
+        # coverage has no holes
+        ys, xs = np.where(covered)
+        cy, cx = ys.mean(), xs.mean()
+        ry = (ys.max() - ys.min()) / 4
+        inner = covered[
+            int(cy - ry) : int(cy + ry), int(cx - ry) : int(cx + ry)
+        ]
+        assert inner.all(), "holes inside the silhouette"
+
+
+class TestLift:
+    @pytest.fixture(scope="class")
+    def sphere_maps(self):
+        verts, faces = uv_sphere()
+        S = 96
+        cams = np.stack(
+            [
+                [2.0, 45.0, 315.0, 0.0, 0.0],
+                [2.0, 45.0, 45.0, 0.0, 0.0],
+                [2.0, 330.0, 135.0, 0.0, 0.0],
+                [2.0, 330.0, 225.0, 0.0, 0.0],
+            ]
+        ).astype(np.float32)
+        w = max(pick_window(verts, faces, c, S) for c in cams)
+        p2v, bary, p2f = build_lift_maps(
+            jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(cams), S, w
+        )
+        return verts, faces, np.asarray(p2v), np.asarray(bary), np.asarray(p2f)
+
+    def test_roundtrip_contact_reconstruction(self, sphere_maps):
+        """Project GT contact to masks, lift back, compare vertex sets
+        (reference render_mesh_utils.py:200-235 semantics)."""
+        verts, faces, p2v, bary, p2f = sphere_maps
+        N = len(verts)
+        contact = (verts[:, 0] > 0.3)  # a cap on the +x side
+        assert contact.sum() > 30
+
+        masks = np.stack(
+            [
+                np.asarray(
+                    contact_mask_from_fragments(
+                        jnp.asarray(p2f[v]), jnp.asarray(faces),
+                        jnp.asarray(contact), min_vertices=2,
+                    )
+                )
+                for v in range(4)
+            ]
+        )
+        logits = np.where(masks, 20.0, -20.0).astype(np.float32)
+        lifted = np.asarray(
+            lift_multiview_soft(
+                jnp.asarray(logits), jnp.asarray(p2v), jnp.asarray(bary), N
+            )
+        )
+        recon = set(np.where(lifted > 0.5)[0])
+        orig = set(np.where(contact)[0])
+        # visible vertices: those referenced by any view's p2v map
+        visible = set(np.unique(p2v[p2v >= 0]))
+        orig_visible = orig & visible
+        missed = orig_visible - recon
+        extra = recon - orig
+        assert len(missed) / max(len(orig_visible), 1) < 0.15
+        assert len(extra) / max(len(recon), 1) < 0.25
+
+    def test_soft_lift_in_range_and_empty(self, sphere_maps):
+        verts, faces, p2v, bary, _ = sphere_maps
+        N = len(verts)
+        logits = jnp.full(p2v.shape[:3], -20.0)
+        out = lift_multiview_soft(logits, jnp.asarray(p2v), jnp.asarray(bary), N)
+        assert float(jnp.max(out)) < 1e-4
+        logits = jnp.full(p2v.shape[:3], 20.0)
+        out = np.asarray(
+            lift_multiview_soft(logits, jnp.asarray(p2v), jnp.asarray(bary), N)
+        )
+        visible = np.unique(np.asarray(p2v)[np.asarray(p2v) >= 0])
+        assert np.allclose(out[visible], 1.0, atol=1e-3)
+
+    def test_thresholded_lift_gradient_flows(self, sphere_maps):
+        verts, faces, p2v, bary, _ = sphere_maps
+        N = len(verts)
+        logits = jnp.full(p2v.shape[:3], 2.0)
+
+        def loss(lg):
+            return lift_multiview_thresholded(
+                lg, jnp.asarray(p2v), jnp.asarray(bary), N
+            ).sum()
+
+        g = jax.grad(loss)(logits)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_point_lift(self):
+        # 2 views, 4x4 pixels, 8 points
+        p2p = -np.ones((2, 4, 4), dtype=np.int32)
+        p2p[0, 0, 0] = 3
+        p2p[0, 0, 1] = 3
+        p2p[1, 2, 2] = 3
+        p2p[1, 3, 3] = 5
+        vals = np.zeros((2, 4, 4), dtype=np.float32)
+        vals[0, 0, 0] = 1.0
+        vals[0, 0, 1] = 0.5
+        vals[1, 2, 2] = 0.25
+        vals[1, 3, 3] = 0.8
+        out = np.asarray(
+            lift_multiview_points(jnp.asarray(vals), jnp.asarray(p2p), 8)
+        )
+        # point 3: view0 mean .75, view1 mean .25 -> .5 ; point 5: .8
+        assert out[3] == pytest.approx(0.5, abs=1e-5)
+        assert out[5] == pytest.approx(0.8, abs=1e-5)
+        assert out[0] == 0.0
+
+    def test_lift_soft_matches_loop_reference(self, sphere_maps):
+        """Cross-check the fused scatter against a literal numpy loop
+        transcription of the reference predictor."""
+        verts, faces, p2v, bary, _ = sphere_maps
+        N = len(verts)
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=p2v.shape[:3]).astype(np.float32) * 5
+
+        got = np.asarray(
+            lift_multiview_soft(
+                jnp.asarray(logits), jnp.asarray(p2v), jnp.asarray(bary), N
+            )
+        )
+
+        # literal reference loop (components.py:246-277)
+        pred = np.zeros(N)
+        count = np.zeros(N)
+        for v in range(4):
+            probs = 1 / (1 + np.exp(-np.clip(logits[v], -20, 20)))
+            vv = p2v[v].reshape(-1, 3)
+            ww = bary[v].reshape(-1, 3).astype(np.float64)
+            mm = probs.reshape(-1)
+            ok = ((vv >= 0) & (vv < N)).all(1)
+            vv, ww, mm = vv[ok], ww[ok], mm[ok]
+            votes = np.zeros(N)
+            wsum = np.zeros(N)
+            for i in range(3):
+                np.add.at(votes, vv[:, i], ww[:, i] * mm)
+                np.add.at(wsum, vv[:, i], ww[:, i])
+            seen = wsum > 0
+            votes[seen] /= wsum[seen]
+            pred += votes
+            count += seen
+        seen = count > 0
+        pred[seen] /= count[seen]
+        pred = np.clip(pred, 0, 1)
+
+        assert np.allclose(got, pred, atol=2e-4)
