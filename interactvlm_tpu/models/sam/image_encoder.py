@@ -1,0 +1,225 @@
+"""SAM ViT image encoder in JAX/flax, channels-last.
+
+TPU-native re-design of the reference encoder
+(``model/segment_anything/modeling/image_encoder.py:17-126``): windowed
+attention with decomposed relative position bias (ViTDet-style), 4 global
+blocks, and a conv neck to the 256-channel embedding. Data stays channels-
+last (NHWC) end to end, which is the layout XLA prefers on TPU; window
+partitioning is a static reshape/transpose that XLA fuses away.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from interactvlm_tpu.config import SAMConfig
+from interactvlm_tpu.ops import dot_product_attention
+
+
+class MLPBlock(nn.Module):
+    mlp_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
+
+
+def window_partition(x, window_size: int):
+    """(B, H, W, C) -> (B * nW, ws, ws, C), padding bottom/right if needed.
+
+    Mirrors reference ``image_encoder.py:263-288``; all shapes static.
+    """
+    B, H, W, C = x.shape
+    pad_h = (window_size - H % window_size) % window_size
+    pad_w = (window_size - W % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(
+        B, Hp // window_size, window_size, Wp // window_size, window_size, C
+    )
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        -1, window_size, window_size, C
+    )
+    return windows, (Hp, Wp)
+
+
+def window_unpartition(windows, window_size: int, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = windows.shape[0] // (Hp * Wp // window_size // window_size)
+    x = windows.reshape(
+        B, Hp // window_size, Wp // window_size, window_size, window_size, -1
+    )
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+def _rel_pos_table(rel_pos, size: int):
+    """Gather the (size, size, head_dim) relative position table for equal
+    q/k sizes (reference ``get_rel_pos``, image_encoder.py:321-351)."""
+    coords = (
+        jnp.arange(size)[:, None] - jnp.arange(size)[None, :] + size - 1
+    )
+    return rel_pos[coords]
+
+
+def decomposed_rel_pos_bias(q, rel_pos_h, rel_pos_w, hw):
+    """Decomposed relative position bias (MViTv2-style; reference
+    ``add_decomposed_rel_pos``, image_encoder.py:354-392).
+
+    q: (B, nH, H*W, d). Returns bias (B, nH, H*W, H*W).
+    """
+    H, W = hw
+    Rh = _rel_pos_table(rel_pos_h, H)  # (H, H, d)
+    Rw = _rel_pos_table(rel_pos_w, W)  # (W, W, d)
+    B, nH = q.shape[0], q.shape[1]
+    r_q = q.reshape(B, nH, H, W, -1)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", r_q, Rh)
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw)
+    bias = rel_h[..., :, None] + rel_w[..., None, :]  # (B,nH,H,W,H,W)
+    return bias.reshape(B, nH, H * W, H * W)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with decomposed relative position bias."""
+
+    dim: int
+    num_heads: int
+    use_rel_pos: bool = True
+    input_size: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, HW, nH, d)
+        q = q.transpose(0, 2, 1, 3)  # (B, nH, HW, d)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        bias = None
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h",
+                nn.initializers.zeros,
+                (2 * self.input_size[0] - 1, head_dim),
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w",
+                nn.initializers.zeros,
+                (2 * self.input_size[1] - 1, head_dim),
+            )
+            # bias is computed on the scaled q to match the reference, which
+            # adds rel-pos AFTER q*scale @ k^T using the unscaled q for the
+            # einsum (image_encoder.py:244-249): logits = (q*s)k^T + qR.
+            bias = decomposed_rel_pos_bias(
+                q.astype(jnp.float32), rel_pos_h, rel_pos_w, (H, W)
+            )
+
+        out = dot_product_attention(q, k, v, bias=bias, scale=head_dim**-0.5)
+        # Undo the extra scale the bias would get in a scaled-attention
+        # implementation: the reference adds the bias unscaled, and our
+        # dot_product_attention adds bias after scaling logits -- identical.
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    window_size: int  # 0 = global
+    input_size: Tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if self.window_size > 0:
+            H, W = x.shape[1], x.shape[2]
+            x, pad_hw = window_partition(x, self.window_size)
+            attn_size = (self.window_size, self.window_size)
+        else:
+            attn_size = self.input_size
+        x = Attention(
+            self.dim,
+            self.num_heads,
+            input_size=attn_size,
+            dtype=self.dtype,
+            name="attn",
+        )(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, (H, W))
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = MLPBlock(
+            int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp"
+        )(y)
+        return x + y
+
+
+class ImageEncoderViT(nn.Module):
+    """SAM ViT encoder. Input (B, S, S, 3) normalized pixels; output
+    (B, S/16, S/16, prompt_embed_dim) channels-last embedding."""
+
+    config: SAMConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        grid = cfg.image_embedding_size
+        x = nn.Conv(
+            cfg.encoder_embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(x)
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.zeros,
+            (1, grid, grid, cfg.encoder_embed_dim),
+        )
+        x = x + pos_embed
+
+        for i in range(cfg.encoder_depth):
+            x = Block(
+                dim=cfg.encoder_embed_dim,
+                num_heads=cfg.encoder_num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                window_size=(
+                    0
+                    if i in cfg.encoder_global_attn_indexes
+                    else cfg.window_size
+                ),
+                input_size=(grid, grid),
+                dtype=cfg.dtype,
+                name=f"block_{i}",
+            )(x)
+
+        # neck: 1x1 conv -> LN -> 3x3 conv -> LN (channels-last LayerNorm is
+        # exactly the reference's LayerNorm2d over channels).
+        x = nn.Conv(
+            cfg.prompt_embed_dim, (1, 1), use_bias=False,
+            dtype=cfg.dtype, name="neck_conv1",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="neck_ln1")(x)
+        x = nn.Conv(
+            cfg.prompt_embed_dim, (3, 3), padding=1, use_bias=False,
+            dtype=cfg.dtype, name="neck_conv2",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="neck_ln2")(x)
+        return x
