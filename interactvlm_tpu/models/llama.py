@@ -1,0 +1,283 @@
+"""LLaMA decoder in JAX/flax with TP sharding annotations and KV-cache decode.
+
+TPU-native rebuild of the reference's vendored HF LLaMA
+(``model/llava/model/language_model/llava_llama.py``; transformers 4.31
+LlamaForCausalLM base). Architecture: RMSNorm, rotary embeddings in the HF
+half-split convention (so converted HF weights drop in), SwiGLU MLP, causal
+attention routed through the shared attention dispatch (Pallas flash
+attention on TPU).
+
+Sharding: params carry logical axis names (see ``parallel/mesh.py``); heads
+and MLP columns map to the ``model`` mesh axis for 13B tensor parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from interactvlm_tpu.config import LlamaConfig
+from interactvlm_tpu.ops import dot_product_attention
+
+KVCache = Dict[str, Any]  # {"k": (B,L,nkv,d), "v": ..., "index": scalar}
+
+
+def _dense(features, axes, name, dtype, use_bias=False):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=nn.with_logical_partitioning(
+            nn.initializers.lecun_normal(), axes
+        ),
+        name=name,
+    )
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "weight",
+            nn.with_logical_partitioning(nn.initializers.ones, ("norm",)),
+            (x.shape[-1],),
+        )
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.eps)
+        return (y * scale.astype(jnp.float32)).astype(self.dtype)
+
+
+def rope_cos_sin(positions, head_dim: int, theta: float, dtype=jnp.float32):
+    """HF-convention rotary tables: (..., L, head_dim) with duplicated
+    frequency halves (cat(freqs, freqs))."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (..., L, d/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+
+
+def apply_rope(x, cos, sin):
+    """x: (B, L, n, d); cos/sin: (B?, L, d) -> rotated x (HF rotate_half)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[..., None, :]  # broadcast over heads
+    sin = sin[..., None, :]
+    return (x * cos + rotated * sin).astype(x.dtype)
+
+
+class LlamaAttention(nn.Module):
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        positions,
+        attn_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+    ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+        cfg = self.config
+        B, L, _ = x.shape
+        nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        q = _dense(nh * d, ("embed", "heads"), "q_proj", cfg.dtype)(x)
+        k = _dense(nkv * d, ("embed", "kv_heads"), "k_proj", cfg.dtype)(x)
+        v = _dense(nkv * d, ("embed", "kv_heads"), "v_proj", cfg.dtype)(x)
+        q = q.reshape(B, L, nh, d)
+        k = k.reshape(B, L, nkv, d)
+        v = v.reshape(B, L, nkv, d)
+
+        cos, sin = rope_cos_sin(positions, d, cfg.rope_theta)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if cache is not None:
+            idx = cache["index"]
+            k_all = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0)
+            )
+            new_cache = {"k": k_all, "v": v_all, "index": idx + L}
+            k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
+            # mask: key positions beyond idx + L are invalid; causal within.
+            Lk = k.shape[1]
+            kpos = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 1)
+            visible = kpos <= (idx + jax.lax.broadcasted_iota(
+                jnp.int32, (L, Lk), 0
+            ))
+            bias = jnp.where(visible, 0.0, jnp.float32(-1e9))[None, None]
+            causal = False
+        else:
+            bias = None
+            causal = True
+            if attn_mask is not None:
+                # attn_mask: (B, L) 1=valid. Build additive bias.
+                bias = jnp.where(
+                    attn_mask[:, None, None, :] > 0, 0.0, jnp.float32(-1e9)
+                )
+
+        if nkv != nh:
+            rep = nh // nkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        qh = q.transpose(0, 2, 1, 3)
+        kh = k.transpose(0, 2, 1, 3)
+        vh = v.transpose(0, 2, 1, 3)
+        out = dot_product_attention(qh, kh, vh, bias=bias, causal=causal)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, nh * d)
+        out = _dense(cfg.hidden_size, ("heads", "embed"), "o_proj", cfg.dtype)(
+            out
+        )
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        gate = _dense(cfg.intermediate_size, ("embed", "mlp"), "gate_proj", cfg.dtype)(x)
+        up = _dense(cfg.intermediate_size, ("embed", "mlp"), "up_proj", cfg.dtype)(x)
+        return _dense(cfg.hidden_size, ("mlp", "embed"), "down_proj", cfg.dtype)(
+            nn.silu(gate) * up
+        )
+
+
+class LlamaBlock(nn.Module):
+    config: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, positions, attn_mask=None, cache=None):
+        cfg = self.config
+        h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_layernorm")(x)
+        attn_out, new_cache = LlamaAttention(cfg, name="self_attn")(
+            h, positions, attn_mask, cache
+        )
+        x = x + attn_out
+        h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attention_layernorm")(x)
+        x = x + LlamaMLP(cfg, name="mlp")(h)
+        return x, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack operating on embeddings (the LLaVA layer feeds spliced
+    embeddings, so token embedding lives in ``embed_tokens`` and can be
+    bypassed)."""
+
+    config: LlamaConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), ("vocab", "embed")
+            ),
+        )
+        block = LlamaBlock
+        if cfg.remat:
+            block = nn.remat(
+                LlamaBlock,
+                static_argnums=(),
+                prevent_cse=False,
+            )
+        self.blocks = [
+            block(cfg, name=f"layer_{i}") for i in range(cfg.num_layers)
+        ]
+        self.norm = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="norm")
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        inputs_embeds,
+        positions=None,
+        attn_mask=None,
+        caches: Optional[Tuple[KVCache, ...]] = None,
+    ):
+        """Returns (hidden_states (B, L, H) post-final-norm, new_caches)."""
+        cfg = self.config
+        B, L, _ = inputs_embeds.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        x = inputs_embeds
+        new_caches = []
+        for i, blk in enumerate(self.blocks):
+            cache_i = caches[i] if caches is not None else None
+            x, nc = blk(x, positions, attn_mask, cache_i)
+            new_caches.append(nc)
+        x = self.norm(x)
+        return x, (tuple(new_caches) if caches is not None else None)
+
+
+class LlamaForCausalLM(nn.Module):
+    config: LlamaConfig
+
+    def setup(self):
+        self.model = LlamaModel(self.config)
+        self.lm_head = _dense(
+            self.config.vocab_size,
+            ("embed", "vocab"),
+            "lm_head",
+            self.config.dtype,
+        )
+
+    def __call__(self, input_ids, attn_mask=None):
+        x = self.model.embed(input_ids)
+        h, _ = self.model(x, attn_mask=attn_mask)
+        return self.lm_head(h), h
+
+    def forward_embeds(self, inputs_embeds, positions=None, attn_mask=None,
+                       caches=None):
+        h, new_caches = self.model(inputs_embeds, positions, attn_mask, caches)
+        return self.lm_head(h), h, new_caches
+
+    def embed(self, input_ids):
+        return self.model.embed(input_ids)
+
+
+def init_kv_cache(
+    config: LlamaConfig, batch: int, max_len: int, dtype=None
+) -> Tuple[KVCache, ...]:
+    """Fresh per-layer KV caches (dense; int8 variant in ``ops/quant``)."""
+    dtype = dtype or config.dtype
+    shape = (batch, max_len, config.num_kv_heads, config.head_dim)
+    return tuple(
+        {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+            "index": jnp.int32(0),
+        }
+        for _ in range(config.num_layers)
+    )
+
+
+def cross_entropy_loss(logits, labels, ignore_index: int = -100):
+    """Shifted causal-LM CE with ignore-index masking, matching HF
+    LlamaForCausalLM loss semantics (labels shifted internally)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    n = jnp.maximum(valid.sum(), 1)
+    return -(ll * valid).sum() / n
