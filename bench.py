@@ -1,0 +1,126 @@
+"""Benchmark: end-to-end multi-view 3D-contact inference throughput.
+
+Measures the vision-dominant path of ``model.evaluate`` (reference
+InteractVLM.py:510-637): SAM ViT-H encoding of V=4 canonical view renders at
+1024x1024, text-prompted two-way mask decode, mask upsampling, and the
+2D->3D barycentric lift onto 6890 SMPL vertices. This is the FLOPs-dominant
+portion of the reference's generate-path inference (the LLaMA-13B prefill+
+32-token decode is the remainder and lands in a later round once TP/int8
+decode is wired into the bench).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+``vs_baseline`` divides by an ESTIMATED reference A100 throughput for the
+same sub-path (PyTorch SAM ViT-H ~90ms/view serial + decode+lift overhead
+=> ~2.5 samples/s); BASELINE.md records that the reference publishes no
+throughput, so this denominator is provisional and is refined when the
+reference is profiled.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+
+# persistent compilation cache: bench re-runs each round should skip the
+# multi-minute remote compile of the full-size encoder
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_ivlm")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+# provisional A100 denominator, see module docstring
+BASELINE_SAMPLES_PER_SEC = 2.5
+
+
+def main():
+    from interactvlm_tpu.config import sam_vit_b, sam_vit_h
+    from interactvlm_tpu.geometry.lift import lift_multiview_soft
+    from interactvlm_tpu.models.sam import Sam
+
+    on_tpu = jax.default_backend() == "tpu"
+    size = os.environ.get("BENCH_SAM", "vit_h" if on_tpu else "vit_b_small")
+    V = int(os.environ.get("BENCH_VIEWS", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    if size == "vit_h":
+        cfg = sam_vit_h(dtype=dtype)
+    elif size == "vit_b":
+        cfg = sam_vit_b(dtype=dtype)
+    else:  # small CPU smoke config
+        cfg = sam_vit_b(dtype=dtype, img_size=256, encoder_depth=2,
+                        encoder_global_attn_indexes=(1,))
+
+    S = cfg.img_size
+    mask_size = 1024 if on_tpu else 256
+    n_verts = 6890
+
+    model = Sam(cfg)
+    key = jax.random.PRNGKey(0)
+    pixels = jax.random.normal(key, (V, S, S, 3), dtype=dtype)
+    text = jax.random.normal(key, (1, cfg.prompt_embed_dim), dtype=dtype)
+    # jit the init: the axon tunnel has high per-dispatch latency, so
+    # op-by-op eager init would take forever
+    params = jax.jit(model.init)(key, pixels[:1], text[None])
+
+    rng = np.random.default_rng(0)
+    p2v = jnp.asarray(
+        rng.integers(-1, n_verts, (V, mask_size, mask_size, 3)), dtype=jnp.int32
+    )
+    bary = jnp.asarray(
+        rng.dirichlet([1, 1, 1], (V, mask_size, mask_size)), dtype=jnp.float32
+    )
+
+    def pipeline(params, pixels, text):
+        emb = model.apply(params, pixels, method=Sam.encode_image)
+        prompts = jnp.broadcast_to(text[None], (V, V, cfg.prompt_embed_dim))
+        low, _ = model.apply(params, emb, prompts, method=Sam.decode_masks)
+        masks = jax.image.resize(
+            low[:, 0].astype(jnp.float32), (V, mask_size, mask_size),
+            method="bilinear",
+        )
+        return lift_multiview_soft(masks, p2v, bary, n_verts)
+
+    # amortize host->device dispatch latency: run `iters` pipeline
+    # invocations inside one jit call via fori_loop (data-dependent so
+    # nothing is DCE'd)
+    def pipeline_n(params, pixels, text):
+        def body(i, acc):
+            shifted = pixels + acc[0] * 1e-6
+            lifted = pipeline(params, shifted, text)
+            return (lifted.mean(), acc[1] + lifted.sum())
+
+        return jax.lax.fori_loop(
+            0, iters, body, (jnp.float32(0.0), jnp.float32(0.0))
+        )
+
+    fn = jax.jit(pipeline_n)
+    out = fn(params, pixels, text)
+    jax.block_until_ready(out)  # compile + warmup
+
+    t0 = time.perf_counter()
+    out = fn(params, pixels, text)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    images_per_sec = 1.0 / dt  # one sample (V views) per inner iteration
+
+    print(json.dumps({
+        "metric": f"hcontact_infer_images_per_sec_{size}_{V}view",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

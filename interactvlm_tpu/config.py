@@ -143,6 +143,9 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    # LoRA adapters on q_proj/v_proj (reference train.py:285-312: r=8, a=16)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
 
 def llama_13b(**kw) -> LlamaConfig:
@@ -239,6 +242,7 @@ def interactvlm_tiny(**kw) -> InteractVLMConfig:
     kw.setdefault("sam", sam_tiny())
     kw.setdefault("seg_token_idx", 500)
     kw.setdefault("img_emb_len", 3)  # clip_tiny has 4 patches
+    kw.setdefault("out_dim", 32)  # must equal sam.prompt_embed_dim
     kw.setdefault("num_human_vertices", 64)
     kw.setdefault("num_object_points", 32)
     return InteractVLMConfig(**kw)

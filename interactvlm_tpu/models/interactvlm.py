@@ -1,0 +1,297 @@
+"""The composite InteractVLM model: LLaVA -> [SEG] hidden states -> SAM
+text-prompted multi-view mask decode -> 2D->3D contact lift + losses.
+
+TPU-native rebuild of ``model/InteractVLM.py:139-637``. The reference's
+per-sample Python loops (views, prompts, losses) become fully batched
+static-shape computations:
+
+- SAM runs over ``B*V`` folded view-images in one batch (the reference loops
+  ``get_visual_embs`` per sample, InteractVLM.py:251-261);
+- every view's decoder receives the sample's V cam-conditioned prompt tokens
+  (matching the reference's broadcast through torch batching,
+  InteractVLM.py:416-435);
+- [SEG] hidden-state selection uses the predictor-position mask in spliced
+  coordinates (see ``models/llava.py``), replacing boolean indexing;
+- losses are indicator-weighted over a mixed-task batch (``models/losses``).
+
+Task encoding for jit-compatible mixed batches (strings in the reference):
+VQA=0, plain 2D seg=1 (h2dcontact/refer/reason/semseg), HCONTACT=2,
+OAFFORD=3, OCONTACT=4.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from interactvlm_tpu.config import InteractVLMConfig
+from interactvlm_tpu.models.components import (
+    AttentionSplitter,
+    CamPoseEncoder,
+    LLaVASAMFusion,
+    TextHiddenFcs,
+    UncertaintyModule,
+    VIv1CamPoseEncoder,
+    ViewIndexCamPoseEncoder,
+)
+from interactvlm_tpu.models.llama import cross_entropy_loss
+from interactvlm_tpu.models.llava import LlavaModel, seg_predictor_mask
+from interactvlm_tpu.models import losses as L
+from interactvlm_tpu.models.sam.sam import Sam
+from interactvlm_tpu.geometry.lift import (
+    lift_multiview_soft,
+    lift_multiview_thresholded,
+)
+
+TASK_VQA = 0
+TASK_SEG2D = 1
+TASK_HCONTACT = 2
+TASK_OAFFORD = 3
+TASK_OCONTACT = 4
+
+
+class InteractVLM(nn.Module):
+    config: InteractVLMConfig
+
+    def setup(self):
+        cfg = self.config
+        self.llava = LlavaModel(cfg.llama, cfg.clip)
+        self.sam = Sam(cfg.sam, use_diff_decoder=cfg.use_diff_decoder)
+        self.text_hidden_fcs = TextHiddenFcs(
+            cfg.llama.hidden_size, cfg.out_dim
+        )
+        if cfg.multiview_cam_cond:
+            if cfg.cam_encoder_type == "simple":
+                self.cam_pose_encoder = CamPoseEncoder(cfg.out_dim)
+            elif cfg.cam_encoder_type == "view_index":
+                self.cam_pose_encoder = ViewIndexCamPoseEncoder(
+                    cfg.multiview_channels, cfg.out_dim
+                )
+            elif cfg.cam_encoder_type == "vi_v1":
+                self.cam_pose_encoder = VIv1CamPoseEncoder(
+                    cfg.multiview_channels, output_dim=cfg.out_dim
+                )
+            else:
+                raise ValueError(cfg.cam_encoder_type)
+        if cfg.base_token_type in ("Gen-Hu-Obj", "Gen-Int"):
+            self.attention_splitter = AttentionSplitter(cfg.out_dim)
+        if cfg.use_fusion:
+            self.fusion = LLaVASAMFusion(
+                cfg.sam.prompt_embed_dim, cfg.llama.hidden_size
+            )
+        if cfg.use_uncertainty:
+            self.uncertainty = UncertaintyModule()
+
+    # ------------------------------------------------------------------
+    def encode_sam_images(self, sam_images):
+        """(B, V, S, S, 3) -> (B, V, g, g, C); frozen encoder
+        (reference get_visual_embs runs under no_grad, InteractVLM.py:251)."""
+        B, V = sam_images.shape[:2]
+        flat = sam_images.reshape((B * V,) + sam_images.shape[2:])
+        emb = self.sam.encode_image(flat)
+        emb = jax.lax.stop_gradient(emb)
+        return emb.reshape((B, V) + emb.shape[1:])
+
+    def seg_embeddings(self, hidden, spliced_ids):
+        """Project hidden states and pick the (single) seg-token embedding
+        per row. Returns (emb (B, out_dim), token_id (B,), has_seg (B,))."""
+        cfg = self.config
+        seg_ids = [cfg.seg_token_idx]
+        if cfg.base_token_type in ("Gen-Hu-Obj", "Gen-Int"):
+            seg_ids += [cfg.hseg_token_idx, cfg.oseg_token_idx]
+        proj = self.text_hidden_fcs(hidden)  # (B, L, out_dim)
+        mask = seg_predictor_mask(spliced_ids, seg_ids)  # (B, L)
+        has_seg = jnp.any(mask, axis=1)
+        # first marked predictor position
+        pos = jnp.argmax(mask, axis=1)
+        emb = jnp.take_along_axis(proj, pos[:, None, None], axis=1)[:, 0]
+        emb = jnp.where(has_seg[:, None], emb, 0.0)
+        token_id = jnp.take_along_axis(
+            spliced_ids, jnp.minimum(pos + 1, spliced_ids.shape[1] - 1)[:, None],
+            axis=1,
+        )[:, 0]
+        return emb, token_id, has_seg
+
+    def condition_views(self, emb, cam_params, token_id):
+        """Per-view prompt tokens from one seg embedding
+        (reference process_embeddings, InteractVLM.py:268-294).
+
+        emb: (B, D); cam_params: (B, V, 5) normalized. -> (B, V, D)
+        """
+        cfg = self.config
+        V = cfg.multiview_channels
+        tokens = jnp.broadcast_to(
+            emb[:, None, :], (emb.shape[0], V, emb.shape[-1])
+        )
+        if cfg.multiview_cam_cond:
+            enc = self.cam_pose_encoder(cam_params.astype(emb.dtype))
+            if cfg.cam_encoder_type == "simple":
+                tokens = tokens + enc
+            else:  # view_index / vi_v1 multiply
+                tokens = tokens * enc
+        if cfg.base_token_type in ("Gen-Hu-Obj", "Gen-Int"):
+            human, obj = self.attention_splitter(tokens)
+            tokens = jnp.where(
+                (token_id == cfg.hseg_token_idx)[:, None, None], human,
+                jnp.where(
+                    (token_id == cfg.oseg_token_idx)[:, None, None], obj, tokens
+                ),
+            )
+        return tokens
+
+    def decode_view_masks(self, image_emb, view_tokens, domain=None):
+        """Batched multi-view mask decode.
+
+        image_emb: (B, V, g, g, C); view_tokens: (B, V, D). Each view's
+        decoder gets all V tokens of its sample as sparse prompts (the
+        reference broadcast). Returns low-res mask logits (B, V, 4g, 4g).
+        """
+        B, V = image_emb.shape[:2]
+        flat_emb = image_emb.reshape((B * V,) + image_emb.shape[2:])
+        # same V-token prompt set for each of the sample's V views
+        prompts = jnp.repeat(view_tokens, V, axis=0)  # (B*V, V, D)
+        low_res, _ = self.sam.decode_masks(flat_emb, prompts, domain)
+        low = low_res[:, 0]
+        return low.reshape(B, V, low.shape[-2], low.shape[-1])
+
+    def upsample_masks(self, low_res, out_size: int):
+        """Low-res logits (B, V, h, w) -> (B, V, out, out). The canonical
+        renders are square and fill the SAM frame, so postprocess reduces to
+        one resize (reference sam.py:137-172 with input==img_size)."""
+        B, V = low_res.shape[:2]
+        return jax.image.resize(
+            low_res.astype(jnp.float32), (B, V, out_size, out_size),
+            method="bilinear",
+        )
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: Dict[str, Any], train: bool = True):
+        return self.forward_train(batch)
+
+    def forward_train(self, batch: Dict[str, Any]):
+        """Teacher-forced training forward (reference model_forward,
+        InteractVLM.py:296-508). Returns the reference's results dict."""
+        cfg = self.config
+        task_ids = batch["task_ids"]
+        is_h = task_ids == TASK_HCONTACT
+        is_oa = task_ids == TASK_OAFFORD
+        is_oc = task_ids == TASK_OCONTACT
+        has_mask = task_ids != TASK_VQA
+
+        out = self.llava(
+            batch["input_ids"], batch["images_clip"], batch["labels"],
+            batch.get("attn_mask"),
+        )
+        ce_loss = cross_entropy_loss(out.logits, out.spliced_labels)
+        ce_loss = cfg.ce_loss_weight * ce_loss
+
+        emb, token_id, has_seg = self.seg_embeddings(
+            out.hidden, out.spliced_ids
+        )
+        view_tokens = self.condition_views(
+            emb, batch["cam_params"], token_id
+        )
+
+        image_emb = self.encode_sam_images(batch["sam_images"])
+        if cfg.use_fusion:
+            B, V = image_emb.shape[:2]
+            fused = self.fusion(
+                image_emb.reshape((B * V,) + image_emb.shape[2:]),
+                jnp.repeat(out.hidden, V, axis=0),
+            )
+            image_emb = fused.reshape(image_emb.shape)
+        low_res = self.decode_view_masks(image_emb, view_tokens)
+        mask_size = batch["gt_masks"].shape[-1]
+        pred_masks = self.upsample_masks(low_res, mask_size)
+        # rows without a seg token predict nothing
+        pred_masks = jnp.where(
+            has_seg[:, None, None, None], pred_masks, 0.0
+        )
+
+        # oafford heatmap rows: sigmoid the prediction
+        # (reference InteractVLM.py:453-456)
+        is_heatmap = is_oa
+        pred_for_loss = jnp.where(
+            is_heatmap[:, None, None, None],
+            jax.nn.sigmoid(pred_masks),
+            pred_masks,
+        )
+
+        mask_bce, mask_dice, mask_l2 = L.combined_mask_losses(
+            pred_for_loss,
+            batch["gt_masks"],
+            is_heatmap,
+            has_mask & has_seg,
+            cfg.bce_loss_weight,
+            cfg.bce_loss_alpha,
+            cfg.dice_loss_weight,
+            cfg.dice_loss_scale,
+        )
+
+        hC = oA = oC = jnp.float32(0.0)
+        if cfg.hC_loss_weight > 0 and "human_p2v" in batch:
+            hC = cfg.hC_loss_weight * L.human_contact_3d_loss(
+                pred_masks, batch["gt_hcontact"],
+                batch["human_p2v"], batch["human_bary"],
+                is_h, batch["gt_hcontact"].shape[1],
+            )
+        if cfg.oC_loss_weight > 0 and "obj_p2p" in batch:
+            oA = cfg.oC_loss_weight * L.object_afford_3d_loss(
+                jax.nn.sigmoid(pred_masks), batch["gt_oafford"],
+                batch["obj_p2p"], is_oa,
+            )
+        if cfg.oC_loss_weight > 0 and "obj_p2v" in batch:
+            oC = cfg.oC_loss_weight * L.object_contact_3d_loss(
+                pred_masks, batch["gt_ocontact"],
+                batch["obj_p2v"], batch["obj_bary"],
+                batch["obj_valid_verts"], is_oc,
+            )
+
+        mask_loss = mask_bce + mask_dice + mask_l2
+        loss = ce_loss + mask_loss + hC + oA + oC
+        return {
+            "loss": loss,
+            "ce_loss": ce_loss,
+            "mask_bce_loss": mask_bce,
+            "mask_dice_loss": mask_dice,
+            "mask_l2_loss": mask_l2,
+            "mask_loss": mask_loss,
+            "hC_loss": hC,
+            "oA_loss": oA,
+            "oC_loss": oC,
+            "pred_masks": pred_masks,
+        }
+
+    # ------------------------------------------------------------------
+    def masks_from_seg_hidden(
+        self,
+        seg_hidden,
+        token_id,
+        sam_images,
+        cam_params,
+        mask_size: int,
+        domain: Optional[str] = None,
+    ):
+        """Inference tail shared by evaluate/demo: one projected seg hidden
+        state per sample -> multi-view mask logits at ``mask_size``."""
+        emb = self.text_hidden_fcs(seg_hidden)
+        view_tokens = self.condition_views(emb, cam_params, token_id)
+        image_emb = self.encode_sam_images(sam_images)
+        low_res = self.decode_view_masks(image_emb, view_tokens, domain)
+        return self.upsample_masks(low_res, mask_size)
+
+
+def lift_human(pred_masks, p2v, bary, num_vertices: int):
+    """(B, V, H, W) logits -> (B, N) contact probs (evaluate path)."""
+    return jax.vmap(lambda m: lift_multiview_soft(m, p2v, bary, num_vertices))(
+        pred_masks
+    )
+
+
+def lift_object(pred_masks, p2v, bary, num_vertices: int, threshold=0.3):
+    return jax.vmap(
+        lambda m: lift_multiview_thresholded(m, p2v, bary, num_vertices, threshold)
+    )(pred_masks)

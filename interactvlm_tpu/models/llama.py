@@ -37,6 +37,45 @@ def _dense(features, axes, name, dtype, use_bias=False):
     )
 
 
+class LoraDense(nn.Module):
+    """Dense + low-rank adapter: y = Wx + (alpha/r) * B(Ax).
+
+    The TPU equivalent of the reference's peft LoRA on q_proj/v_proj
+    (train.py:285-312); the base kernel is frozen by the optimizer mask, the
+    ``lora_a``/``lora_b`` params train.
+    """
+
+    features: int
+    axes: tuple
+    rank: int
+    alpha: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = _dense(self.features, self.axes, "base", self.dtype)(x)
+        if self.rank > 0:
+            a = self.param(
+                "lora_a",
+                nn.with_logical_partitioning(
+                    nn.initializers.normal(0.02), ("embed", None)
+                ),
+                (x.shape[-1], self.rank),
+            )
+            b = self.param(
+                "lora_b",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, (None, self.axes[-1])
+                ),
+                (self.rank, self.features),
+            )
+            scale = self.alpha / self.rank
+            y = y + (
+                (x @ a.astype(x.dtype)) @ b.astype(x.dtype)
+            ) * scale
+        return y
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
@@ -90,9 +129,19 @@ class LlamaAttention(nn.Module):
         B, L, _ = x.shape
         nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-        q = _dense(nh * d, ("embed", "heads"), "q_proj", cfg.dtype)(x)
+        if cfg.lora_rank > 0:
+            q = LoraDense(
+                nh * d, ("embed", "heads"), cfg.lora_rank, cfg.lora_alpha,
+                cfg.dtype, name="q_proj",
+            )(x)
+            v = LoraDense(
+                nkv * d, ("embed", "kv_heads"), cfg.lora_rank, cfg.lora_alpha,
+                cfg.dtype, name="v_proj",
+            )(x)
+        else:
+            q = _dense(nh * d, ("embed", "heads"), "q_proj", cfg.dtype)(x)
+            v = _dense(nkv * d, ("embed", "kv_heads"), "v_proj", cfg.dtype)(x)
         k = _dense(nkv * d, ("embed", "kv_heads"), "k_proj", cfg.dtype)(x)
-        v = _dense(nkv * d, ("embed", "kv_heads"), "v_proj", cfg.dtype)(x)
         q = q.reshape(B, L, nh, d)
         k = k.reshape(B, L, nkv, d)
         v = v.reshape(B, L, nkv, d)

@@ -109,7 +109,6 @@ class Attention(nn.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        bias = None
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h",
@@ -121,17 +120,30 @@ class Attention(nn.Module):
                 nn.initializers.zeros,
                 (2 * self.input_size[1] - 1, head_dim),
             )
-            # bias is computed on the scaled q to match the reference, which
-            # adds rel-pos AFTER q*scale @ k^T using the unscaled q for the
-            # einsum (image_encoder.py:244-249): logits = (q*s)k^T + qR.
-            bias = decomposed_rel_pos_bias(
-                q.astype(jnp.float32), rel_pos_h, rel_pos_w, (H, W)
+            from interactvlm_tpu.ops import use_pallas_default
+            from interactvlm_tpu.ops.sam_attention import (
+                BLOCK_K,
+                fused_rel_attention,
             )
 
-        out = dot_product_attention(q, k, v, bias=bias, scale=head_dim**-0.5)
-        # Undo the extra scale the bias would get in a scaled-attention
-        # implementation: the reference adds the bias unscaled, and our
-        # dot_product_attention adds bias after scaling logits -- identical.
+            # on TPU every rel-pos block (global 64x64 and windowed 14x14)
+            # uses the fused flash kernel, avoiding the (HW)^2 bias
+            # materialization; CPU tests keep the XLA reference path.
+            if use_pallas_default() and H * W >= 128:
+                out = fused_rel_attention(
+                    q, k, v, rel_pos_h, rel_pos_w, (H, W)
+                )
+            else:
+                # reference adds the bias to scaled logits
+                # (image_encoder.py:244-249): logits = (q*s)k^T + qR.
+                bias = decomposed_rel_pos_bias(
+                    q.astype(jnp.float32), rel_pos_h, rel_pos_w, (H, W)
+                )
+                out = dot_product_attention(
+                    q, k, v, bias=bias, scale=head_dim**-0.5
+                )
+        else:
+            out = dot_product_attention(q, k, v, scale=head_dim**-0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

@@ -1,0 +1,191 @@
+"""Fused Pallas attention for SAM ViT blocks: flash attention with the
+decomposed relative-position bias factorized into the kernel.
+
+The naive path materializes ``bias = rel_h[...,None] + rel_w[...,None,:]``
+of shape (B, nH, HW, HW) -- ~4 GB in fp32 for the 64x64 ViT-H global grid,
+and ~200 MB per block for the 14x14 windows -- and is HBM-bound. Here only
+the small factor tensors are precomputed:
+
+  rel_h[b,n,h_k,(h,w)] = <q[b,n,h,w,:], Rh[h, h_k, :]>   (BH, H, L)
+  rel_w[b,n,(h,w),w_k] = <q[b,n,h,w,:], Rw[w, w_k, :]>   (BH, L, W)
+
+and each (q-block, k-block) bias tile is reconstructed in VMEM via two
+expansion matmuls (MXU-friendly; Mosaic rejects 3-D minor-dim reshapes).
+
+Grids whose width W does not divide the 128-wide k block (e.g. 14x14
+windows) are zero-padded to the next divisor width (14 -> 16) with padded
+columns masked; padded rows fall out of the ``k_idx < H * Wp`` bound.
+
+Reference semantics: ``add_decomposed_rel_pos``
+(model/segment_anything/modeling/image_encoder.py:354-392), bias added to
+the scaled logits before softmax.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from interactvlm_tpu.ops.flash_attention import _pad_to, NEG_INF
+
+BLOCK_Q = 128
+BLOCK_K = 128
+
+
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, lk, scale, W, Wp):
+    """q_ref: (1, BQ, D); k/v_ref: (1, Lkp, D); rh_ref: (1, Hp, BQ);
+    rw_ref: (1, BQ, Wpad)."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    Lkp = k_ref.shape[1]
+    D = q_ref.shape[2]
+    n_kb = Lkp // BLOCK_K
+    rows_per_kb = BLOCK_K // Wp
+
+    # expansion matrices: E_h[i, c] = 1 iff c // Wp == i ;
+    # E_w[i, c] = 1 iff c % Wp == i
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows_per_kb, BLOCK_K), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows_per_kb, BLOCK_K), 0)
+    e_h = (col // Wp == row).astype(jnp.float32)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (Wp, BLOCK_K), 1)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (Wp, BLOCK_K), 0)
+    e_w = (colw % Wp == roww).astype(jnp.float32)
+
+    def body(kb, carry):
+        acc, m, l = carry
+        k_blk = k_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rh = rh_ref[0, pl.ds(kb * rows_per_kb, rows_per_kb), :]  # (rpk, BQ)
+        rh_exp = jax.lax.dot_general(
+            rh.astype(jnp.float32), e_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK): bias_h[r, c] = rel_h[c // Wp, r]
+        rw = rw_ref[0, :, 0:Wp].astype(jnp.float32)  # (BQ, Wp)
+        rw_exp = jax.lax.dot_general(
+            rw, e_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK): bias_w[r, c] = rel_w[r, c % Wp]
+        s = s + rh_exp + rw_exp
+
+        k_idx = kb * BLOCK_K + jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK_Q, BLOCK_K), 1
+        )
+        valid = (k_idx < lk) & (k_idx % Wp < W)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_blk = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((BLOCK_Q, D), jnp.float32)
+    m0 = jnp.full((BLOCK_Q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BLOCK_Q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _rel_tables(rel_pos, size):
+    coords = jnp.arange(size)[:, None] - jnp.arange(size)[None, :] + size - 1
+    return rel_pos[coords]  # (size, size, d)
+
+
+def _grid_pad_width(W: int) -> int:
+    """Smallest Wp >= W with BLOCK_K % Wp == 0."""
+    for wp in range(W, BLOCK_K + 1):
+        if BLOCK_K % wp == 0:
+            return wp
+    return BLOCK_K
+
+
+def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):
+    """Flash attention with decomposed rel-pos for (H, W) token grids.
+
+    q, k, v: (B, nH, L, D) with L = H*W row-major; rel_pos_h/w: tables
+    (2*H-1, D) / (2*W-1, D). Returns (B, nH, L, D).
+    """
+    H, W = hw
+    B, nH, L, D = q.shape
+    assert L == H * W
+    scale = D ** -0.5
+    Wp = _grid_pad_width(W)
+    Lg = H * Wp  # grid-padded token count
+
+    Rh = _rel_tables(rel_pos_h, H)  # (H, H, D)
+    Rw = _rel_tables(rel_pos_w, W)
+    qf = q.astype(jnp.float32)
+    r_q = qf.reshape(B, nH, H, W, D)
+    rel_h = jnp.einsum("bnhwc,hkc->bnkhw", r_q, Rh)  # (B,nH,Hk,H,W)
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw)  # (B,nH,H,W,Wk)
+
+    def grid_pad(x, axis_w):
+        return _pad_to(x, Wp, axis_w)
+
+    # token-layout pad W -> Wp
+    def pad_tokens(t):
+        t5 = t.reshape(B, nH, H, W, D)
+        return grid_pad(t5, 3).reshape(B, nH, Lg, D)
+
+    qg, kg, vg = pad_tokens(q), pad_tokens(k), pad_tokens(v)
+    rel_h = grid_pad(rel_h, 4).reshape(B * nH, H, Lg)
+    rel_w = grid_pad(grid_pad(rel_w, 3), 4).reshape(B * nH, Lg, Wp)
+
+    Dp = max(128, ((D + 127) // 128) * 128)
+    Lp = ((Lg + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    Wpad = max(128, Wp)
+    Hp = max(H, Lp // Wp)
+
+    qp = _pad_to(_pad_to(qg, Dp, 3), Lp, 2).reshape(B * nH, Lp, Dp)
+    kp = _pad_to(_pad_to(kg, Dp, 3), Lp, 2).reshape(B * nH, Lp, Dp)
+    vp = _pad_to(_pad_to(vg, Dp, 3), Lp, 2).reshape(B * nH, Lp, Dp)
+    rhp = _pad_to(_pad_to(rel_h, Hp, 1), Lp, 2)
+    rwp = _pad_to(_pad_to(rel_w, Wpad, 2), Lp, 1)
+
+    grid = (B * nH, Lp // BLOCK_Q)
+    out = pl.pallas_call(
+        functools.partial(_kernel, lk=Lg, scale=scale, W=W, Wp=Wp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, Dp), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp, Dp), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp, Dp), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, BLOCK_Q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, Wpad), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BLOCK_Q, Dp), lambda bh, qi: (bh, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * nH, Lp, Dp), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * nH * Lg * Lg * D,
+            bytes_accessed=4 * B * nH * Lg * D * 3,
+            transcendentals=B * nH * Lg * Lg,
+        ),
+    )(qp, kp, vp, rhp, rwp)
+    out = out.reshape(B, nH, Lp, Dp)[:, :, :Lg, :D]
+    if Wp != W:
+        out = out.reshape(B, nH, H, Wp, D)[:, :, :, :W].reshape(
+            B, nH, L, D
+        )
+    return out

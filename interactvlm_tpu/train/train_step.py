@@ -1,0 +1,165 @@
+"""Sharded training step: pjit over the (data, model) mesh with
+ZeRO-style optimizer-state sharding.
+
+Replaces the reference's DeepSpeed engine (``model_engine.backward/step``,
+train.py:558-562, ZeRO-2 config train.py:356-389):
+- gradients are psum-ed by pjit from the batch sharding (DP);
+- optimizer state (Adam mu/nu) is sharded over the ``data`` axis (the
+  ZeRO-1/2 equivalent) via first-divisible-axis sharding;
+- TP shardings on the LLaMA params come from the model's logical axis
+  annotations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from interactvlm_tpu.parallel.mesh import LOGICAL_RULES
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def param_sharding_tree(model, init_fn, mesh: Mesh):
+    """Abstract-init the model and derive NamedShardings from the logical
+    partitioning metadata."""
+    abs_vars = jax.eval_shape(init_fn)
+    specs = nn.get_partition_spec(abs_vars)
+    return nn.logical_to_mesh_sharding(specs, mesh, list(LOGICAL_RULES)), abs_vars
+
+
+def zero_shard_leaf(shape_dtype, mesh: Mesh, min_size: int = 2**14):
+    """ZeRO heuristic: shard the first axis divisible by the data-axis size
+    for sizeable leaves; replicate the rest."""
+    n_data = mesh.shape["data"]
+    shape = shape_dtype.shape
+    size = 1
+    for s in shape:
+        size *= s
+    if size >= min_size:
+        for i, s in enumerate(shape):
+            if s % n_data == 0 and s > 0:
+                spec = [None] * len(shape)
+                spec[i] = "data"
+                return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def opt_state_shardings(tx, params_shapes, mesh: Mesh):
+    abs_state = jax.eval_shape(tx.init, params_shapes)
+    return jax.tree.map(lambda l: zero_shard_leaf(l, mesh), abs_state)
+
+
+def create_sharded_state(model, tx, example_batch, mesh: Mesh, rng=None):
+    """Initialize a TrainState with params placed per their TP annotations
+    and optimizer state ZeRO-sharded over ``data``."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+
+    def init_fn():
+        return model.init(rng, example_batch)
+
+    shardings, abs_vars = param_sharding_tree(model, init_fn, mesh)
+
+    init_jit = jax.jit(
+        lambda: nn.meta.unbox(model.init(rng, example_batch)),
+        out_shardings=nn.meta.unbox(shardings),
+    )
+    with mesh:
+        variables = init_jit()
+
+    params_shapes = jax.eval_shape(lambda: variables)
+    opt_shardings = opt_state_shardings(tx, params_shapes, mesh)
+    opt_init_jit = jax.jit(tx.init, out_shardings=opt_shardings)
+    with mesh:
+        opt_state = opt_init_jit(variables)
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables, opt_state=opt_state
+    )
+    state_shardings = TrainState(
+        step=NamedSharding(mesh, P()),
+        params=nn.meta.unbox(shardings),
+        opt_state=opt_shardings,
+    )
+    return state, state_shardings
+
+
+def batch_shardings(example_batch, mesh: Mesh):
+    """Shard batch leaves over ``data`` on the leading axis; leaves whose
+    leading dim doesn't divide (shared arrays like the human lift maps)
+    stay replicated."""
+    n_data = mesh.shape["data"]
+
+    def one(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim > 0 and leaf.shape[0] % n_data == 0 and leaf.shape[0] >= n_data:
+            return NamedSharding(mesh, P("data"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(one, example_batch)
+
+
+def make_train_step(
+    model,
+    tx,
+    mesh: Mesh,
+    state_shardings,
+    example_batch,
+    loss_key: str = "loss",
+    donate: bool = True,
+):
+    """Build the jit-compiled train step. The batch is sharded over
+    ``data`` on its leading axis; pjit inserts the gradient psum."""
+
+    batch_sharding = batch_shardings(example_batch, mesh)
+
+    def step_fn(state: TrainState, batch):
+        def loss_fn(params):
+            out = model.apply(params, batch)
+            return out[loss_key], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            k: v for k, v in out.items() if jnp.ndim(v) == 0
+        }
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(
+                step=state.step + 1, params=new_params, opt_state=new_opt
+            ),
+            metrics,
+        )
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, batch_sharding),
+        out_shardings=(state_shardings, NamedSharding(mesh, P())),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh: Mesh, state_shardings, example_batch):
+    batch_sharding = batch_shardings(example_batch, mesh)
+
+    def eval_fn(params, batch):
+        return model.apply(params, batch)
+
+    return jax.jit(
+        eval_fn,
+        in_shardings=(state_shardings.params, batch_sharding),
+    )

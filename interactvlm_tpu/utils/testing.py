@@ -1,0 +1,65 @@
+"""Synthetic batch construction for tests, compile checks, and benchmarks.
+
+Produces the canonical batch dict of the data pipeline (mirroring the
+reference ``collate_fn`` output, datasets/dataset.py:159-178) with random
+contents at any configured size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from interactvlm_tpu.config import InteractVLMConfig
+from interactvlm_tpu.models.llava import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+
+
+def make_synthetic_batch(
+    cfg: InteractVLMConfig,
+    B: int = 2,
+    L: int = 12,
+    tasks=(2, 3),  # TASK_HCONTACT, TASK_OAFFORD
+    mask_size: int = 32,
+    seed: int = 0,
+):
+    rng = np.random.default_rng(seed)
+    V = cfg.multiview_channels
+    vocab = cfg.llama.vocab_size
+    ids = rng.integers(4, min(vocab, 32000) - 1, (B, L)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    ids[:, L - 2] = cfg.seg_token_idx
+    labels = np.full((B, L), IGNORE_INDEX, np.int32)
+    labels[:, L - 3 :] = ids[:, L - 3 :]
+    labels[:, L - 3] = 9
+    Nh = cfg.num_human_vertices
+    P = cfg.num_object_points
+    S = cfg.sam.img_size
+    Sc = cfg.clip.image_size
+    MASK = mask_size
+
+    gt_masks = (rng.random((B, V, MASK, MASK)) > 0.7).astype(np.float32)
+    gt_masks[:, :, :2] = -1.0
+
+    p2v = rng.integers(0, Nh, (V, MASK, MASK, 3)).astype(np.int32)
+    p2v[:, : MASK // 2] = -1
+    bary = rng.dirichlet([1, 1, 1], (V, MASK, MASK)).astype(np.float32)
+    p2p = rng.integers(-1, P, (B, V, MASK, MASK)).astype(np.int32)
+
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "images_clip": jnp.zeros((B, Sc, Sc, 3), jnp.float32),
+        "sam_images": jnp.zeros((B, V, S, S, 3), jnp.float32),
+        "gt_masks": jnp.asarray(gt_masks),
+        "cam_params": jnp.asarray(
+            rng.random((B, V, 5)), dtype=jnp.float32
+        ),
+        "task_ids": jnp.asarray(np.resize(np.array(tasks), B), dtype=jnp.int32),
+        "gt_hcontact": jnp.asarray(
+            (rng.random((B, Nh)) > 0.8).astype(np.float32)
+        ),
+        "gt_oafford": jnp.asarray(rng.random((B, P)).astype(np.float32)),
+        "human_p2v": jnp.asarray(p2v),
+        "human_bary": jnp.asarray(bary),
+        "obj_p2p": jnp.asarray(p2p),
+    }

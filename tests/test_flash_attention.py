@@ -1,0 +1,55 @@
+"""Flash-attention kernel tests (interpret mode on CPU) against the XLA
+reference implementation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from interactvlm_tpu.ops.attention import _xla_attention
+from interactvlm_tpu.ops.flash_attention import flash_attention
+
+
+def rand(shape, key):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "B,H,L,D", [(1, 2, 128, 64), (2, 2, 256, 128), (1, 1, 200, 80)]
+)
+def test_flash_matches_reference(B, H, L, D, causal):
+    q, k, v = (rand((B, H, L, D), i) for i in range(3))
+    want = _xla_attention(q, k, v, causal=causal)
+    got = flash_attention(q, k, v, causal, None, True)  # interpret mode
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-3), (
+        np.abs(np.asarray(got) - np.asarray(want)).max()
+    )
+
+
+def test_flash_decode_chunk_alignment():
+    """Lq != Lk (decode chunk at the end of a longer K) with causal."""
+    B, H, Lk, D = 1, 2, 256, 64
+    Lq = 128
+    q = rand((B, H, Lq, D), 0)
+    k = rand((B, H, Lk, D), 1)
+    v = rand((B, H, Lk, D), 2)
+    want = _xla_attention(q, k, v, causal=True)
+    got = flash_attention(q, k, v, True, None, True)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_flash_gradients():
+    B, H, L, D = 1, 2, 128, 64
+    q, k, v = (rand((B, H, L, D), i) for i in range(3))
+
+    def f_flash(q, k, v):
+        return flash_attention(q, k, v, True, None, True).sum()
+
+    def f_ref(q, k, v):
+        return _xla_attention(q, k, v, causal=True).sum()
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3)

@@ -1,0 +1,31 @@
+"""Fused rel-pos flash attention vs the XLA reference (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from interactvlm_tpu.models.sam.image_encoder import decomposed_rel_pos_bias
+from interactvlm_tpu.ops.attention import _xla_attention
+from interactvlm_tpu.ops.sam_attention import fused_rel_attention
+
+
+@pytest.mark.parametrize(
+    "H,W,D", [(8, 8, 64), (16, 8, 80), (14, 14, 80), (7, 5, 64)]
+)
+def test_fused_rel_attention_matches_reference(H, W, D):
+    B, nH = 2, 2
+    L = H * W
+    key = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(jax.random.PRNGKey(i), (B, nH, L, D), jnp.float32)
+        for i in range(3)
+    )
+    rh = jax.random.normal(jax.random.PRNGKey(3), (2 * H - 1, D)) * 0.5
+    rw = jax.random.normal(jax.random.PRNGKey(4), (2 * W - 1, D)) * 0.5
+
+    bias = decomposed_rel_pos_bias(q, rh, rw, (H, W))
+    want = _xla_attention(q, k, v, bias=bias, scale=D ** -0.5)
+    got = fused_rel_attention(q, k, v, rh, rw, (H, W), interpret=True)
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 2e-3, err

@@ -1,0 +1,98 @@
+"""Sharded training-step tests on the virtual 8-device CPU mesh:
+DP+TP mesh init, ZeRO opt-state sharding, LoRA gradient flow, loss drop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from interactvlm_tpu.config import interactvlm_tiny, llama_tiny
+from interactvlm_tpu.models.interactvlm import InteractVLM
+from interactvlm_tpu.parallel.mesh import create_mesh
+from interactvlm_tpu.train.optimizer import (
+    make_optimizer,
+    trainable_mask,
+    warmup_decay_schedule,
+)
+from interactvlm_tpu.train.train_step import (
+    create_sharded_state,
+    make_train_step,
+)
+from tests.test_interactvlm import make_batch
+
+
+def test_warmup_decay_schedule():
+    s = warmup_decay_schedule(1.0, 10, 110)
+    assert float(s(0)) == 0.0
+    assert float(s(10)) == pytest.approx(1.0)
+    assert float(s(60)) == pytest.approx(0.5)
+    assert float(s(110)) == pytest.approx(0.0)
+
+
+def test_trainable_mask_policy():
+    cfg = interactvlm_tiny(llama=llama_tiny(lora_rank=4))
+    model = InteractVLM(cfg)
+    batch = make_batch(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    import flax.linen as nn
+
+    mask = trainable_mask(nn.meta.unbox(params))
+
+    def collect(tree, pred, prefix=""):
+        out = []
+        for k, v in tree.items():
+            p = f"{prefix}/{k}"
+            if isinstance(v, dict):
+                out += collect(v, pred, p)
+            else:
+                out.append((p, v))
+        return out
+
+    flat = collect(mask["params"], None)
+    d = dict(flat)
+    assert any("mask_decoder" in k and v for k, v in d.items())
+    assert all(not v for k, v in d.items() if "image_encoder" in k)
+    assert all(not v for k, v in d.items() if "vision_tower" in k)
+    assert all(v for k, v in d.items() if "lora_a" in k or "lora_b" in k)
+    # base llama weights frozen (LoRA-only); note SAM's decoder has its own
+    # trainable k_proj, so restrict to the llama subtree
+    assert all(
+        not v for k, v in d.items()
+        if "/lm/" in k and ("base" in k or "k_proj" in k or "gate_proj" in k)
+    )
+    assert any("text_hidden_fcs" in k and v for k, v in d.items())
+
+
+@pytest.mark.slow
+def test_sharded_train_step_runs_and_learns():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = create_mesh(n_data=4, n_model=2)
+    cfg = interactvlm_tiny(llama=llama_tiny(lora_rank=4))
+    model = InteractVLM(cfg)
+    batch = make_batch(cfg, B=4)
+
+    tx, _ = make_optimizer(
+        lr=1e-3, warmup_steps=2, total_steps=50, mask=trainable_mask
+    )
+    with mesh:
+        state, shardings = create_sharded_state(model, tx, batch, mesh)
+        step = make_train_step(model, tx, mesh, shardings, batch)
+        losses = []
+        for i in range(5):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+    assert float(metrics["grad_norm"]) > 0
+    # ZeRO: at least one sizable opt-state leaf is sharded over data
+    sharded = [
+        s for s in jax.tree.leaves(shardings.opt_state)
+        if getattr(s, "spec", None) and "data" in str(s.spec)
+    ]
+    assert sharded, "no ZeRO-sharded optimizer state"
+    # TP: some param is sharded over the model axis
+    psharded = [
+        s for s in jax.tree.leaves(shardings.params)
+        if "model" in str(getattr(s, "spec", ""))
+    ]
+    assert psharded, "no TP-sharded params"
