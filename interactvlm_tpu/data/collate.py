@@ -1,0 +1,140 @@
+"""Batch assembly: canonical samples -> fixed-shape device batch.
+
+Rebuild of the reference ``collate_fn`` (``datasets/dataset.py:31-178``)
+with TPU-first changes:
+- the 14-field per-sample tuple becomes a typed ``Sample``;
+- single-view images/masks/cams are repeated to V views
+  (dataset.py:68-75);
+- sequences pad to a static ``max_len`` (minus the 255 image-embedding
+  expansion like the reference's truncation, dataset.py:151-157);
+- dataset-name strings are encoded as integer task ids so the train step
+  stays jittable; ragged per-sample fields (paths, class names) ride along
+  as host-side lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from interactvlm_tpu.data.tokenization import tokenize_conversations
+
+TASK_IDS = {
+    "vqa": 0,
+    "sem_seg": 1,
+    "refer_seg": 1,
+    "reason_seg": 1,
+    "h2dcontact": 1,
+    "hcontact": 2,
+    "hcontact_scene": 2,
+    "oafford": 3,
+    "ocontact": 4,
+}
+
+
+def task_id_for(ds_name: str) -> int:
+    for key, tid in TASK_IDS.items():
+        if key in ds_name:
+            return tid
+    return 1
+
+
+@dataclasses.dataclass
+class Sample:
+    """Canonical per-sample record (reference field list,
+    e.g. hcontact_3d.py:352-366)."""
+
+    image_path: str
+    sam_images: np.ndarray  # (V or 1, S, S, 3) normalized
+    image_clip: np.ndarray  # (Sc, Sc, 3) normalized
+    conversations: List[str]
+    masks: np.ndarray  # (V or 1, H, W) float with IGNORE -1
+    label: np.ndarray  # (H, W) original-frame label
+    gt_contact_3d: np.ndarray  # (N,) task-dependent
+    cam_params: np.ndarray  # (V or 1, 5) normalized
+    resize: tuple
+    questions: List[str]
+    sampled_classes: List[str]
+    ds_name: str
+    mask_paths: List[str]
+    inference: bool = False
+
+
+def _repeat_views(x: np.ndarray, V: int) -> np.ndarray:
+    if x.shape[0] == 1 and V > 1:
+        return np.repeat(x, V, axis=0)
+    return x
+
+
+def collate(
+    samples: Sequence[Sample],
+    tokenizer,
+    max_len: int = 512,
+    conv_type: str = "llava_v1",
+    use_mm_start_end: bool = True,
+    multiview_channels: int = 4,
+    num_human_vertices: int = 6890,
+    num_object_points: int = 2048,
+    human_maps: Optional[Dict[str, np.ndarray]] = None,
+    include_maps: bool = True,
+) -> Dict[str, Any]:
+    """Returns the model batch dict plus host-side metadata lists.
+
+    One conversation per sample feeds the step (the reference's multi-
+    conversation ``offset`` machinery collapses to B rows of one
+    conversation each -- datasets emit a single QA round per draw).
+    """
+    V = multiview_channels
+    conversations = [s.conversations[0] for s in samples]
+    tok = tokenize_conversations(
+        conversations, tokenizer,
+        max_len=max_len - 255 if not samples[0].inference else max_len,
+        conv_type=conv_type, use_mm_start_end=use_mm_start_end,
+    )
+
+    sam_images = np.stack([_repeat_views(s.sam_images, V) for s in samples])
+    masks = np.stack([_repeat_views(s.masks, V) for s in samples])
+    cams = np.stack([_repeat_views(s.cam_params, V) for s in samples])
+    task_ids = np.array([task_id_for(s.ds_name) for s in samples], np.int32)
+
+    B = len(samples)
+    gt_h = np.zeros((B, num_human_vertices), np.float32)
+    gt_oa = np.zeros((B, num_object_points), np.float32)
+    for i, s in enumerate(samples):
+        tid = task_ids[i]
+        v = np.asarray(s.gt_contact_3d, np.float32).reshape(-1)
+        if tid == 2 and v.size == num_human_vertices:
+            gt_h[i] = v
+        elif tid == 3 and v.size == num_object_points:
+            gt_oa[i] = v
+
+    batch = {
+        "input_ids": tok["input_ids"],
+        "labels": tok["labels"],
+        "attn_mask": tok["attn_mask"],
+        "images_clip": np.stack([s.image_clip for s in samples]),
+        "sam_images": sam_images,
+        "gt_masks": masks.astype(np.float32),
+        "cam_params": cams.astype(np.float32),
+        "task_ids": task_ids,
+        "gt_hcontact": gt_h,
+        "gt_oafford": gt_oa,
+    }
+    if include_maps and human_maps is not None:
+        batch["human_p2v"] = human_maps["p2v"]
+        batch["human_bary"] = human_maps["bary"]
+
+    meta = {
+        "image_paths": [s.image_path for s in samples],
+        "conversation_list": conversations,
+        "resize_list": [s.resize for s in samples],
+        "label_list": [s.label for s in samples],
+        "questions_list": [s.questions for s in samples],
+        "sampled_classes_list": [s.sampled_classes for s in samples],
+        "ds_name_list": [s.ds_name for s in samples],
+        "mask_paths_list": [s.mask_paths for s in samples],
+        "inference": samples[0].inference,
+    }
+    return batch, meta

@@ -1,0 +1,414 @@
+"""Task datasets + mixture sampling.
+
+Rebuild of the reference data layer (``datasets/``): the contact dataset
+family (DAMON/LEMON human contact, RICH scene contact, PIAD/LEMON point-
+cloud affordance, PICO mesh contact, 2D contact) plus VQA, and the
+``HybridDataset`` mixture sampler. LISA-legacy datasets (sem_seg /
+refer_seg / reason_seg) are registered but require their external corpora.
+
+On-disk layout (documented; mirrors the reference ``./data`` tree):
+
+  <root>/<view_folder>/
+      renders/<view_name>.png            fixed canonical renders (human) or
+      renders/<sample_id>_<view>.png     per-sample renders (objects)
+      masks/<sample_id>_<obj>_<view>.png GT contact masks per view
+      heatmaps/...                       heatmap labels ('HM' view types)
+      contact_label_objectwise.pkl       {sample_id: {obj: vert-ids}}
+      body_parts_objectwise.pkl          {sample_id: {obj: [part names]}}
+      p2pmap_<sample_id>_<view>.npz      pixel->point maps (point clouds)
+  <root>/images/<sample_id>.jpg          the real photos (CLIP input)
+
+Per-sample outputs are the canonical ``Sample`` (see ``collate.py``),
+matching the reference 14-field tuple (hcontact_3d.py:352-366).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import random
+from os.path import join
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from interactvlm_tpu.data.collate import Sample
+from interactvlm_tpu.data.conversations import get_conversation_template
+from interactvlm_tpu.data.transforms import (
+    clip_preprocess,
+    load_image_rgb,
+    sam_preprocess,
+    valid_region_mask,
+)
+from interactvlm_tpu.geometry.views import (
+    HUMAN_VIEWS,
+    OBJECT_VIEWS,
+    ViewSet,
+    normalize_cam_params,
+)
+from interactvlm_tpu.utils import constants as C
+
+
+def _load_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def build_conversation(
+    question: str, answer: str, conv_type: str = "llava_v1"
+) -> str:
+    conv = get_conversation_template(conv_type)
+    conv.append_message(conv.roles[0], question)
+    conv.append_message(conv.roles[1], answer)
+    return conv.get_prompt()
+
+
+class BaseContactDataset:
+    """Shared loading/conversation helpers
+    (reference ``datasets/base_contact_dataset.py``)."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        view_set: ViewSet,
+        image_size: int = 1024,
+        clip_size: int = 224,
+        conv_type: str = "llava_v1",
+        token_type: str = "Gen",
+        rng: Optional[random.Random] = None,
+    ):
+        self.base_dir = base_dir
+        self.view_set = view_set
+        self.image_size = image_size
+        self.clip_size = clip_size
+        self.conv_type = conv_type
+        self.token_type = token_type
+        self.rng = rng or random.Random(42)
+
+    # --- image loading -------------------------------------------------
+    def load_views(self, paths: Sequence[str]):
+        """Render PNGs -> (sam (V,S,S,3), valid (V,H,W), raw (V,H,W,3))."""
+        raws = np.stack([load_image_rgb(p) for p in paths])
+        valid = np.stack([valid_region_mask(r) for r in raws])
+        sams = []
+        resize = None
+        for r in raws:
+            t, resize = sam_preprocess(r, self.image_size)
+            sams.append(t)
+        return np.stack(sams), valid, raws, resize
+
+    def load_label_masks(self, paths, valid_regions, binary=True):
+        """Mask PNGs -> (V, H, W) float labels with IGNORE outside the
+        render's valid region (reference base_contact_dataset.py:134-172)."""
+        labels = []
+        for i, p in enumerate(paths):
+            img = load_image_rgb(p)[..., 0].astype(np.float32)
+            if binary:
+                lab = (img >= 128).astype(np.float32)
+            else:
+                lab = img / 255.0
+            lab = np.where(valid_regions[i] > 0, lab, float(C.IGNORE_LABEL))
+            labels.append(lab)
+        return np.stack(labels)
+
+    def load_clip_image(self, path: str):
+        return clip_preprocess(load_image_rgb(path), self.clip_size)
+
+    def cam_params(self):
+        return normalize_cam_params(self.view_set.cam_params())
+
+    # --- conversations --------------------------------------------------
+    def human_conversation(
+        self, class_name: str, question_type: str = "simple",
+        body_parts: Optional[str] = None,
+    ):
+        """One QA round for human contact; 'parts' template names the body
+        parts in the answer (reference hcontact_3d.py:338-343 dropout picks
+        between them)."""
+        if question_type == "parts" and body_parts:
+            q = self.rng.choice(C.HCONTACT_PARTS_QUESTION_LIST)
+            a = self.rng.choice(C.HCONTACT_PARTS_ANSWER_LIST).format(
+                body_parts=body_parts
+            )
+        else:
+            q = self.rng.choice(C.HCONTACT_QUESTION_LIST)
+            a = self.rng.choice(C.HCONTACT_ANSWER_LIST)
+        q = q.format(class_name=class_name.lower())
+        a = C.substitute_seg_tokens(a, self.token_type)
+        return build_conversation(q, a, self.conv_type), q
+
+    def object_conversation(
+        self, class_name: str, affordance: Optional[str] = None,
+        question_type: str = "simple",
+    ):
+        if question_type == "afford" and affordance:
+            q = self.rng.choice(C.OAFFORD_AFFORD_QUESTION_LIST)
+            a = self.rng.choice(C.OAFFORD_AFFORD_ANSWER_LIST).format(
+                affordance=affordance
+            )
+        else:
+            q = self.rng.choice(C.OAFFORD_QUESTION_LIST)
+            a = self.rng.choice(C.OAFFORD_ANSWER_LIST)
+        q = q.format(class_name=class_name.lower())
+        a = C.substitute_seg_tokens(a, self.token_type)
+        return build_conversation(q, a, self.conv_type), q
+
+
+class HContactDataset(BaseContactDataset):
+    """DAMON/LEMON 3D human contact (reference ``datasets/hcontact_3d.py``).
+
+    The canonical Vitruvian-pose renders are fixed and shared across
+    samples (loaded once, hcontact_3d.py:268-271); per-sample GT masks are
+    projections of the annotated contact vertices.
+    """
+
+    ds_name = "hcontact"
+
+    def __init__(
+        self,
+        base_dir: str,
+        view_type: str = "4MV-Z_Vitru_mv2",
+        split: str = "train",
+        question_type: str = "parts",
+        parts_dropout: float = 0.3,
+        train_fraction: float = 1.0,
+        num_vertices: int = 6890,
+        **kw,
+    ):
+        super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
+        self.split = split
+        self.question_type = question_type
+        self.parts_dropout = parts_dropout
+        self.num_vertices = num_vertices
+        folder = join(base_dir, "hcontact_vitruvian_mv2")
+        self.folder = folder
+
+        self.contact_annot = _load_pickle(
+            join(folder, "contact_label_objectwise.pkl")
+        )
+        parts_file = join(folder, "body_parts_objectwise.pkl")
+        self.body_parts = (
+            _load_pickle(parts_file) if os.path.exists(parts_file) else {}
+        )
+
+        self.samples: List[tuple] = []
+        for image_name, objs in sorted(self.contact_annot.items()):
+            for obj_name in sorted(objs):
+                if obj_name == "foot_ground":
+                    obj_name_out = "scene"  # rename (hcontact_3d.py:92-93)
+                else:
+                    obj_name_out = obj_name
+                self.samples.append((image_name, obj_name, obj_name_out))
+
+        if split == "train" and train_fraction < 1.0:
+            # deterministic subsample, seed 42 (hcontact_3d.py:104-126)
+            rng = np.random.default_rng(42)
+            n = max(1, int(len(self.samples) * train_fraction))
+            idx = rng.choice(len(self.samples), size=n, replace=False)
+            self.samples = [self.samples[i] for i in sorted(idx)]
+
+        # fixed canonical renders, shared across samples
+        render_paths = [
+            join(folder, "renders", f"{v}.png") for v in self.view_set.names
+        ]
+        self.sam_images, self.valid_regions, _, self.resize = self.load_views(
+            render_paths
+        )
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Sample:
+        image_name, obj_key, obj_name = self.samples[idx]
+        contact_ids = np.asarray(
+            self.contact_annot[image_name][obj_key]
+        ).reshape(-1)
+        gt = np.zeros(self.num_vertices, np.float32)
+        gt[contact_ids[contact_ids < self.num_vertices]] = 1.0
+
+        stem = os.path.splitext(image_name)[0]
+        mask_paths = [
+            join(self.folder, "masks", f"{stem}_{obj_key}_{v}.png")
+            for v in self.view_set.names
+        ]
+        masks = self.load_label_masks(mask_paths, self.valid_regions)
+
+        # body-part dropout: with prob p fall back to the simple template
+        # (hcontact_3d.py:338-343, FIX.md:22-27)
+        qtype = self.question_type
+        if qtype == "parts" and self.rng.random() < self.parts_dropout:
+            qtype = "simple"
+        parts = None
+        if image_name in self.body_parts and obj_key in self.body_parts[
+            image_name
+        ]:
+            parts = ", ".join(self.body_parts[image_name][obj_key])
+        conv, q = self.human_conversation(obj_name, qtype, parts)
+
+        return Sample(
+            image_path=join(self.base_dir, "images", image_name),
+            sam_images=self.sam_images,
+            image_clip=self.load_clip_image(
+                join(self.base_dir, "images", image_name)
+            ),
+            conversations=[conv],
+            masks=masks,
+            label=masks[0],
+            gt_contact_3d=gt,
+            cam_params=self.cam_params(),
+            resize=self.resize,
+            questions=[q],
+            sampled_classes=[obj_name],
+            ds_name=self.ds_name,
+            mask_paths=mask_paths,
+        )
+
+
+class OAffordDataset(BaseContactDataset):
+    """PIAD/LEMON object point-cloud affordance
+    (reference ``datasets/ocontact_3d.py:76-337``): per-sample object
+    renders + heatmap labels + pixel->point maps."""
+
+    ds_name = "oafford"
+
+    def __init__(
+        self,
+        base_dir: str,
+        view_type: str = "4MV-Z_HM",
+        split: str = "train",
+        num_points: int = 2048,
+        question_type: str = "simple",
+        **kw,
+    ):
+        super().__init__(base_dir, OBJECT_VIEWS[view_type], **kw)
+        self.split = split
+        self.num_points = num_points
+        self.question_type = question_type
+        self.folder = join(base_dir, "rendered_points_heatmap")
+        index = _load_pickle(join(self.folder, "index.pkl"))
+        # index: list of dicts {image, object_id, class_name, affordance}
+        self.samples = index[split]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _paths(self, object_id: str, kind: str):
+        return [
+            join(self.folder, kind, f"{object_id}_{v}.png")
+            for v in self.view_set.names
+        ]
+
+    def __getitem__(self, idx: int) -> Sample:
+        rec = self.samples[idx]
+        oid = rec["object_id"]
+        sam_images, valid, _, resize = self.load_views(
+            self._paths(oid, "renders")
+        )
+        heatmaps = self.load_label_masks(
+            self._paths(oid, "heatmaps"), valid, binary=False
+        )
+        gt = np.load(join(self.folder, "gt", f"{oid}.npz"))[
+            "affordance"
+        ].astype(np.float32)[: self.num_points]
+        if gt.size < self.num_points:
+            gt = np.pad(gt, (0, self.num_points - gt.size))
+
+        conv, q = self.object_conversation(
+            rec["class_name"], rec.get("affordance"), self.question_type
+        )
+        mask_paths = self._paths(oid, "mask")
+        return Sample(
+            image_path=join(self.base_dir, "images", rec["image"]),
+            sam_images=sam_images,
+            image_clip=self.load_clip_image(
+                join(self.base_dir, "images", rec["image"])
+            ),
+            conversations=[conv],
+            masks=heatmaps,
+            label=heatmaps[0],
+            gt_contact_3d=gt,
+            cam_params=self.cam_params(),
+            resize=resize,
+            questions=[q],
+            sampled_classes=[rec["class_name"]],
+            ds_name=self.ds_name,
+            mask_paths=mask_paths,
+        )
+
+
+class VQADataset(BaseContactDataset):
+    """LLaVA-instruct + GPT-4o HOI-VQA
+    (reference ``datasets/vqa_dataset.py``): plain QA, empty masks."""
+
+    ds_name = "vqa"
+
+    def __init__(self, base_dir: str, annotation_file: str = "vqa.pkl",
+                 view_type: str = "4MV-Z_Vitru_mv2", **kw):
+        super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
+        self.records = _load_pickle(join(base_dir, annotation_file))
+
+    def __len__(self):
+        return len(self.records)
+
+    def __getitem__(self, idx: int) -> Sample:
+        rec = self.records[idx]
+        img_path = join(self.base_dir, "images", rec["image"])
+        conv = build_conversation(
+            C.DEFAULT_IMAGE_TOKEN + "\n" + rec["question"],
+            rec["answer"], self.conv_type,
+        )
+        S = self.image_size
+        V = self.view_set.num_views
+        return Sample(
+            image_path=img_path,
+            sam_images=np.zeros((1, S, S, 3), np.float32),
+            image_clip=self.load_clip_image(img_path),
+            conversations=[conv],
+            masks=np.full((1, 64, 64), float(C.IGNORE_LABEL), np.float32),
+            label=np.zeros((64, 64), np.float32),
+            gt_contact_3d=np.zeros(1, np.float32),
+            cam_params=np.zeros((1, 5), np.float32),
+            resize=(S, S),
+            questions=[rec["question"]],
+            sampled_classes=[],
+            ds_name=self.ds_name,
+            mask_paths=[],
+        )
+
+
+DATASET_REGISTRY = {
+    "hcontact": HContactDataset,
+    "oafford": OAffordDataset,
+    "vqa": VQADataset,
+}
+
+
+class HybridDataset:
+    """Mixture-of-datasets sampler (reference ``datasets/dataset.py:181-378``):
+    each index draws a dataset by normalized sample rate, then a uniform
+    random element; ``len`` is the synthetic epoch length
+    samples_per_epoch = bs * grad_acc * steps * world_size
+    (train.py:332)."""
+
+    def __init__(
+        self,
+        datasets: Sequence,
+        sample_rates: Sequence[float],
+        samples_per_epoch: int,
+        seed: int = 42,
+    ):
+        assert len(datasets) == len(sample_rates) > 0
+        self.datasets = list(datasets)
+        rates = np.asarray(sample_rates, np.float64)
+        self.rates = rates / rates.sum()
+        self.samples_per_epoch = samples_per_epoch
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.samples_per_epoch
+
+    def __getitem__(self, idx: int) -> Sample:
+        ds = self.datasets[
+            int(self.rng.choice(len(self.datasets), p=self.rates))
+        ]
+        return ds[int(self.rng.integers(len(ds)))]

@@ -67,18 +67,18 @@ class ViewSet:
 
 
 def normalize_cam_params(params: np.ndarray) -> np.ndarray:
-    """Normalize 5-dof camera params into roughly [-1, 1] for conditioning.
+    """Normalize 5-dof camera params for the cam-pose encoder.
 
-    Mirrors the reference dataset normalization
-    (``datasets/base_contact_dataset.py:37-50``): dist/3, elev/90, azim/180
-    after wrapping into (-180, 180], translations unchanged.
+    Matches the reference dataset normalization exactly
+    (``datasets/base_contact_dataset.py:37-50``): dist/10, elev/360,
+    azim/360, translations mapped from [-1, 1] to [0, 1].
     """
     params = np.asarray(params, dtype=np.float32).copy()
-    params[..., 0] = params[..., 0] / 3.0
-    elev = np.mod(params[..., 1] + 180.0, 360.0) - 180.0
-    azim = np.mod(params[..., 2] + 180.0, 360.0) - 180.0
-    params[..., 1] = elev / 90.0
-    params[..., 2] = azim / 180.0
+    params[..., 0] = params[..., 0] / 10.0
+    params[..., 1] = params[..., 1] / 360.0
+    params[..., 2] = params[..., 2] / 360.0
+    params[..., 3] = (params[..., 3] + 1.0) / 2.0
+    params[..., 4] = (params[..., 4] + 1.0) / 2.0
     return params
 
 

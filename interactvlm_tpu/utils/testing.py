@@ -14,6 +14,58 @@ from interactvlm_tpu.config import InteractVLMConfig
 from interactvlm_tpu.models.llava import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 
 
+class _TokOut:
+    def __init__(self, ids):
+        self.input_ids = ids
+
+
+class WhitespaceTokenizer:
+    """Minimal deterministic HF-tokenizer stand-in for offline tests:
+    whitespace/punctuation word pieces, bos/eos/pad specials, growable
+    vocab, ``add_tokens`` support."""
+
+    def __init__(self, model_max_length: int = 512):
+        self.model_max_length = model_max_length
+        self.vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3}
+        self.bos_token_id = 1
+        self.eos_token_id = 2
+        self.pad_token_id = 0
+
+    def _pieces(self, text: str):
+        import re
+
+        out = []
+        for part in text.replace("</s>", " </s> ").split():
+            if part in ("</s>",):
+                out.append(part)
+                continue
+            out.extend(p for p in re.findall(r"\[[A-Z]+\]|\w+|[^\w\s]", part))
+        return out
+
+    def _id(self, piece: str) -> int:
+        if piece not in self.vocab:
+            self.vocab[piece] = len(self.vocab)
+        return self.vocab[piece]
+
+    def __call__(self, text: str, add_special_tokens: bool = True):
+        ids = [self._id(p) for p in self._pieces(text)]
+        if add_special_tokens:
+            ids = [self.bos_token_id] + ids
+        return _TokOut(ids)
+
+    def add_tokens(self, token: str):
+        self._id(token)
+
+    def convert_ids_to_tokens(self, idx: int) -> str:
+        for k, v in self.vocab.items():
+            if v == idx:
+                return k
+        return "<unk>"
+
+    def decode(self, ids) -> str:
+        return " ".join(self.convert_ids_to_tokens(int(i)) for i in ids)
+
+
 def make_synthetic_batch(
     cfg: InteractVLMConfig,
     B: int = 2,

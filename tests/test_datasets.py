@@ -1,0 +1,164 @@
+"""Dataset tests against a fabricated on-disk fixture tree (the reference's
+test_dataloader.py smoke-test, as real assertions)."""
+
+import os
+import pickle
+from os.path import join
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from interactvlm_tpu.data.collate import collate
+from interactvlm_tpu.data.datasets import (
+    HContactDataset,
+    HybridDataset,
+    OAffordDataset,
+    VQADataset,
+)
+from interactvlm_tpu.utils.constants import IGNORE_LABEL
+from interactvlm_tpu.utils.testing import WhitespaceTokenizer
+
+VIEWS_H = ("topfront", "bottomfront", "topback", "bottomback")
+VIEWS_O = ("frontleft", "frontright", "backleft", "backright")
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+
+    def save_png(path, arr):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(arr).save(path)
+
+    # photos
+    for name in ("img1.jpg", "img2.jpg", "vqa1.jpg"):
+        save_png(
+            join(root, "images", name),
+            rng.integers(0, 255, (40, 40, 3), dtype=np.uint8),
+        )
+
+    # human contact tree
+    h = join(root, "hcontact_vitruvian_mv2")
+    for v in VIEWS_H:
+        img = np.full((64, 64, 3), 255, np.uint8)
+        img[8:56, 8:56] = 128  # body region (valid)
+        save_png(join(h, "renders", f"{v}.png"), img)
+    annot = {
+        "img1.jpg": {"chair": np.array([1, 5, 9])},
+        "img2.jpg": {"foot_ground": np.array([2, 3])},
+    }
+    parts = {"img1.jpg": {"chair": ["leftHand", "rightHand"]}}
+    os.makedirs(h, exist_ok=True)
+    with open(join(h, "contact_label_objectwise.pkl"), "wb") as f:
+        pickle.dump(annot, f)
+    with open(join(h, "body_parts_objectwise.pkl"), "wb") as f:
+        pickle.dump(parts, f)
+    for img_name, objs in annot.items():
+        stem = os.path.splitext(img_name)[0]
+        for obj in objs:
+            for v in VIEWS_H:
+                m = np.zeros((64, 64), np.uint8)
+                m[20:30, 20:30] = 255
+                save_png(join(h, "masks", f"{stem}_{obj}_{v}.png"), m)
+
+    # oafford tree
+    o = join(root, "rendered_points_heatmap")
+    index = {
+        "train": [
+            {"image": "img1.jpg", "object_id": "chair_001",
+             "class_name": "Chair", "affordance": "sit"},
+        ],
+        "test": [],
+    }
+    os.makedirs(o, exist_ok=True)
+    with open(join(o, "index.pkl"), "wb") as f:
+        pickle.dump(index, f)
+    for v in VIEWS_O:
+        img = np.full((64, 64, 3), 255, np.uint8)
+        img[16:48, 16:48] = 100
+        save_png(join(o, "renders", f"chair_001_{v}.png"), img)
+        hm = np.zeros((64, 64), np.uint8)
+        hm[20:30, 20:40] = 200
+        save_png(join(o, "heatmaps", f"chair_001_{v}.png"), hm)
+    os.makedirs(join(o, "gt"), exist_ok=True)
+    np.savez(
+        join(o, "gt", "chair_001.npz"),
+        affordance=rng.random(2048).astype(np.float32),
+    )
+
+    # vqa
+    with open(join(root, "vqa.pkl"), "wb") as f:
+        pickle.dump(
+            [{"image": "vqa1.jpg", "question": "what is happening?",
+              "answer": "a person sits."}], f)
+    return str(root)
+
+
+class TestHContact:
+    def test_samples_and_fields(self, data_root):
+        ds = HContactDataset(data_root, image_size=64)
+        assert len(ds) == 2
+        s = ds[0]
+        assert s.sam_images.shape == (4, 64, 64, 3)
+        assert s.masks.shape[0] == 4
+        # outside the body region -> IGNORE
+        assert (s.masks[0][:5, :5] == IGNORE_LABEL).all()
+        assert s.masks[0][25, 25] == 1.0
+        assert s.gt_contact_3d.shape == (6890,)
+        assert s.gt_contact_3d.sum() == 3
+        assert "[SEG]" in s.conversations[0]
+        assert s.cam_params.shape == (4, 5)
+
+    def test_foot_ground_rename(self, data_root):
+        ds = HContactDataset(data_root, image_size=64)
+        names = {s[2] for s in ds.samples}
+        assert "scene" in names and "foot_ground" not in names
+
+    def test_train_fraction_subsample(self, data_root):
+        ds = HContactDataset(
+            data_root, image_size=64, train_fraction=0.5
+        )
+        assert len(ds) == 1
+
+
+class TestOAfford:
+    def test_sample(self, data_root):
+        ds = OAffordDataset(data_root, image_size=64)
+        assert len(ds) == 1
+        s = ds[0]
+        assert s.sam_images.shape == (4, 64, 64, 3)
+        assert s.gt_contact_3d.shape == (2048,)
+        # heatmap labels are continuous in [0,1] with IGNORE outside
+        valid_vals = s.masks[s.masks != IGNORE_LABEL]
+        assert 0 <= valid_vals.min() and valid_vals.max() <= 1
+        assert "chair" in s.questions[0]
+
+
+class TestVQA:
+    def test_sample(self, data_root):
+        ds = VQADataset(data_root)
+        s = ds[0]
+        assert (s.masks == IGNORE_LABEL).all()
+        assert "what is happening?" in s.conversations[0]
+
+
+class TestHybridAndCollate:
+    def test_mixture_and_end_to_end_collate(self, data_root):
+        h = HContactDataset(data_root, image_size=64)
+        o = OAffordDataset(data_root, image_size=64)
+        v = VQADataset(data_root, image_size=64)
+        hybrid = HybridDataset([h, o, v], [9, 3, 3], samples_per_epoch=12)
+        assert len(hybrid) == 12
+        names = {hybrid[i].ds_name for i in range(12)}
+        assert "hcontact" in names
+
+        tok = WhitespaceTokenizer()
+        samples = [hybrid[i] for i in range(3)]
+        batch, meta = collate(
+            samples, tok, max_len=400, multiview_channels=4,
+        )
+        assert batch["sam_images"].shape[0] == 3
+        assert batch["input_ids"].shape == (3, 400 - 255)
+        assert len(meta["ds_name_list"]) == 3
