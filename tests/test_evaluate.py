@@ -1,0 +1,108 @@
+"""Evaluate-driver tests: generate-mode batch evaluation on the tiny model,
+validate loop, and the DAMON reports."""
+
+import numpy as np
+import jax
+import pytest
+
+from interactvlm_tpu.config import interactvlm_tiny
+from interactvlm_tpu.eval.evaluate import (
+    damon_binary_contact,
+    damon_semantic_contact,
+    evaluate_batch,
+    truncate_at_answer,
+    validate,
+)
+from interactvlm_tpu.models.interactvlm import InteractVLM
+from interactvlm_tpu.utils.constants import IGNORE_INDEX
+from tests.test_interactvlm import MASK, make_batch
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = interactvlm_tiny()
+    model = InteractVLM(cffg := cfg)
+    batch = make_batch(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return cfg, model, params
+
+
+def test_truncate_at_answer():
+    ids = np.arange(10)[None]
+    labels = np.full((1, 10), IGNORE_INDEX)
+    labels[0, 6:] = 1
+    out = truncate_at_answer(ids, labels)
+    assert out.shape == (1, 6)
+    # no supervised tokens -> unchanged
+    out = truncate_at_answer(ids, np.full((1, 10), IGNORE_INDEX))
+    assert out.shape == (1, 10)
+
+
+def test_evaluate_batch_shapes(tiny):
+    cfg, model, params = tiny
+    batch = make_batch(cfg)
+    human_maps = {
+        "p2v": batch["human_p2v"], "bary": batch["human_bary"],
+        "num_vertices": cfg.num_human_vertices,
+    }
+    out = evaluate_batch(
+        model, params, batch, cfg, MASK, contact_type="hcontact",
+        max_new_tokens=4, human_maps=human_maps,
+    )
+    B = batch["input_ids"].shape[0]
+    assert out["generated_ids"].shape == (B, 4)
+    assert out["pred_masks"].shape == (B, 4, MASK, MASK)
+    assert out["pred_contact_3d"].shape == (B, cfg.num_human_vertices)
+    assert np.isfinite(out["pred_masks"]).all()
+
+
+def test_validate_loop_and_metrics(tiny):
+    cfg, model, params = tiny
+    batch = make_batch(cfg, tasks=(2, 2))  # all hcontact
+    meta = {
+        "image_paths": ["a.jpg", "b.jpg"],
+        "sampled_classes_list": [["chair"], ["bench"]],
+    }
+    human_maps = {
+        "p2v": batch["human_p2v"], "bary": batch["human_bary"],
+        "num_vertices": cfg.num_human_vertices,
+    }
+    dist = np.abs(
+        np.arange(cfg.num_human_vertices)[:, None]
+        - np.arange(cfg.num_human_vertices)[None, :]
+    ).astype(float)
+    results, saved = validate(
+        [(batch, meta)], model, params, cfg, "hcontact", MASK,
+        human_maps=human_maps, dist_matrix=dist,
+    )
+    for k in ("giou", "ciou", "f1", "precision", "recall", "geo"):
+        assert k in results and np.isfinite(results[k]), k
+    assert len(saved["pred"]) == 2
+
+    # DAMON reports run on the saved results
+    binary = damon_binary_contact(saved)
+    assert binary["num_images"] == 2
+    assert 0 <= binary["f1"] <= 1
+    semantic = damon_semantic_contact(saved)
+    assert "chair" in semantic["objectwise"]
+    assert semantic["categories"].get("furniture", {}).get(
+        "num_samples", 0
+    ) >= 1  # chair + bench are furniture
+
+
+def test_damon_binary_union_logic():
+    saved = {
+        "imgnames": [["img1"], ["img1"], ["img2"]],
+        "pred": [np.array([1, 0, 0], bool), np.array([0, 1, 0], bool),
+                 np.array([1, 1, 1], bool)],
+        "gt": [np.array([1, 0, 0], bool), np.array([0, 1, 0], bool),
+               np.array([1, 1, 1], bool)],
+        "f1": [1.0, 1.0, 1.0],
+        "geo": [0.1, 0.3, 0.0],
+        "objnames": [[["chair"]], [["bench"]], [["chair"]]],
+    }
+    out = damon_binary_contact(saved)
+    assert out["num_images"] == 2
+    assert out["f1"] == pytest.approx(1.0)
+    # per-image geo takes the max over objects
+    assert out["geo"] == pytest.approx((0.3 + 0.0) / 2)
