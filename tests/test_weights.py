@@ -1,0 +1,295 @@
+"""Weight-conversion parity tests against real HF torch models (CPU):
+converted weights must reproduce the torch forward numerically."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from interactvlm_tpu.config import clip_tiny, llama_tiny
+from interactvlm_tpu.models.clip_vit import CLIPVisionTower
+from interactvlm_tpu.models.llama import LlamaForCausalLM
+from interactvlm_tpu.utils.weights import (
+    convert_clip_vision,
+    convert_llama,
+    convert_sam,
+    merge_lora,
+    resize_token_tables,
+)
+
+
+class TestLlamaParity:
+    @pytest.fixture(scope="class")
+    def models(self):
+        from transformers import LlamaConfig as HFLlamaConfig
+        from transformers import LlamaForCausalLM as HFLlama
+
+        hf_cfg = HFLlamaConfig(
+            vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, max_position_embeddings=256,
+            rms_norm_eps=1e-6, attention_bias=False, tie_word_embeddings=False,
+        )
+        torch.manual_seed(0)
+        hf = HFLlama(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+        params = {"params": convert_llama(sd, num_layers=2)}
+        ours = LlamaForCausalLM(llama_tiny())
+        return hf, ours, params
+
+    def test_logits_match(self, models):
+        hf, ours, params = models
+        ids = np.array([[1, 5, 42, 100, 3, 7]], dtype=np.int64)
+        with torch.no_grad():
+            want = hf(torch.from_numpy(ids)).logits.numpy()
+        got, _ = ours.apply(params, jnp.asarray(ids.astype(np.int32)))
+        err = np.abs(np.asarray(got) - want).max()
+        assert err < 2e-4, err
+
+    def test_resize_token_tables(self, models):
+        hf, ours, params = models
+        p = jax.tree.map(np.copy, params["params"])
+        p = resize_token_tables(p, 515)
+        assert p["model"]["embed_tokens"]["embedding"].shape == (515, 64)
+        assert p["lm_head"]["kernel"].shape == (64, 515)
+        # new rows = mean of old
+        mean = params["params"]["model"]["embed_tokens"]["embedding"].mean(0)
+        assert np.allclose(
+            p["model"]["embed_tokens"]["embedding"][514], mean, atol=1e-6
+        )
+
+
+def test_merge_lora_matches_adapter_forward():
+    cfg = llama_tiny(lora_rank=4)
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 512, (1, 8)))
+    params = model.init(jax.random.PRNGKey(0), ids)
+    # give the adapters nonzero B so LoRA actually contributes
+    import flax
+    import flax.linen as nn
+
+    p = nn.meta.unbox(flax.core.unfreeze(params))["params"]
+
+    def bump(node):
+        if isinstance(node, dict):
+            if "lora_b" in node:
+                node["lora_b"] = np.asarray(node["lora_b"]) + 0.01
+            for v in node.values():
+                bump(v)
+
+    bump(p)
+    with_adapters, _ = model.apply({"params": p}, ids)
+
+    merged = merge_lora(p, alpha=cfg.lora_alpha, rank=cfg.lora_rank)
+    plain = LlamaForCausalLM(llama_tiny())
+    got, _ = plain.apply({"params": merged}, ids)
+    err = np.abs(np.asarray(got) - np.asarray(with_adapters)).max()
+    assert err < 2e-4, err
+
+
+class TestCLIPParity:
+    def test_patch_features_match(self):
+        from transformers import CLIPVisionConfig as HFCfg
+        from transformers import CLIPVisionModel as HFModel
+
+        hf_cfg = HFCfg(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+        )
+        torch.manual_seed(0)
+        hf = HFModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+        params = {"params": convert_clip_vision(sd, num_layers=2)}
+
+        ours = CLIPVisionTower(clip_tiny())
+        rng = np.random.default_rng(0)
+        pixels = rng.normal(size=(2, 28, 28, 3)).astype(np.float32)
+        with torch.no_grad():
+            out = hf(
+                torch.from_numpy(pixels.transpose(0, 3, 1, 2)),
+                output_hidden_states=True,
+            )
+        want = out.hidden_states[-2][:, 1:].numpy()  # penultimate patches
+        got = np.asarray(ours.apply(params, jnp.asarray(pixels)))
+        err = np.abs(got - want).max()
+        assert err < 2e-4, err
+
+
+class TestSAMConversion:
+    def test_official_schema_loads_and_runs(self):
+        """Fabricate a state dict in the official SAM pth key schema at tiny
+        size, convert, and check exact placement + a working forward."""
+        from interactvlm_tpu.config import sam_tiny
+        from interactvlm_tpu.models.sam import Sam
+
+        cfg = sam_tiny()
+        model = Sam(cfg)
+        key = jax.random.PRNGKey(0)
+        pixels = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+        text = jnp.zeros((1, 2, cfg.prompt_embed_dim))
+        ref_params = model.init(key, pixels, text)
+
+        # build the official-style state dict with shapes read from our tree
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def fill(name, shape):
+            sd[name] = rng.normal(size=shape).astype(np.float32) * 0.05
+            return sd[name]
+
+        d = cfg.encoder_embed_dim
+        g = cfg.image_embedding_size
+        fill("image_encoder.patch_embed.proj.weight", (d, 3, 16, 16))
+        fill("image_encoder.patch_embed.proj.bias", (d,))
+        fill("image_encoder.pos_embed", (1, g, g, d))
+        for i in range(cfg.encoder_depth):
+            p = f"image_encoder.blocks.{i}"
+            for ln in ("norm1", "norm2"):
+                fill(f"{p}.{ln}.weight", (d,))
+                fill(f"{p}.{ln}.bias", (d,))
+            fill(f"{p}.attn.qkv.weight", (3 * d, d))
+            fill(f"{p}.attn.qkv.bias", (3 * d,))
+            fill(f"{p}.attn.proj.weight", (d, d))
+            fill(f"{p}.attn.proj.bias", (d,))
+            win = (
+                cfg.window_size
+                if i not in cfg.encoder_global_attn_indexes
+                else g
+            )
+            hd = d // cfg.encoder_num_heads
+            fill(f"{p}.attn.rel_pos_h", (2 * win - 1, hd))
+            fill(f"{p}.attn.rel_pos_w", (2 * win - 1, hd))
+            fill(f"{p}.mlp.lin1.weight", (int(d * 4), d))
+            fill(f"{p}.mlp.lin1.bias", (int(d * 4),))
+            fill(f"{p}.mlp.lin2.weight", (d, int(d * 4)))
+            fill(f"{p}.mlp.lin2.bias", (d,))
+        C = cfg.prompt_embed_dim
+        fill("image_encoder.neck.0.weight", (C, d, 1, 1))
+        fill("image_encoder.neck.1.weight", (C,))
+        fill("image_encoder.neck.1.bias", (C,))
+        fill("image_encoder.neck.2.weight", (C, C, 3, 3))
+        fill("image_encoder.neck.3.weight", (C,))
+        fill("image_encoder.neck.3.bias", (C,))
+
+        fill("prompt_encoder.pe_layer.positional_encoding_gaussian_matrix",
+             (2, C // 2))
+        for i in range(4):
+            fill(f"prompt_encoder.point_embeddings.{i}.weight", (1, C))
+        fill("prompt_encoder.not_a_point_embed.weight", (1, C))
+        fill("prompt_encoder.no_mask_embed.weight", (1, C))
+        ch = cfg.mask_in_chans
+        fill("prompt_encoder.mask_downscaling.0.weight", (ch // 4, 1, 2, 2))
+        fill("prompt_encoder.mask_downscaling.0.bias", (ch // 4,))
+        fill("prompt_encoder.mask_downscaling.1.weight", (ch // 4,))
+        fill("prompt_encoder.mask_downscaling.1.bias", (ch // 4,))
+        fill("prompt_encoder.mask_downscaling.3.weight", (ch, ch // 4, 2, 2))
+        fill("prompt_encoder.mask_downscaling.3.bias", (ch,))
+        fill("prompt_encoder.mask_downscaling.4.weight", (ch,))
+        fill("prompt_encoder.mask_downscaling.4.bias", (ch,))
+        fill("prompt_encoder.mask_downscaling.6.weight", (C, ch, 1, 1))
+        fill("prompt_encoder.mask_downscaling.6.bias", (C,))
+
+        fill("mask_decoder.iou_token.weight", (1, C))
+        fill("mask_decoder.mask_tokens.weight", (cfg.num_mask_tokens, C))
+        for i in range(cfg.decoder_depth):
+            p = f"mask_decoder.transformer.layers.{i}"
+            for attn, ds in (
+                ("self_attn", 1),
+                ("cross_attn_token_to_image", 2),
+                ("cross_attn_image_to_token", 2),
+            ):
+                internal = C // ds
+                for proj in ("q_proj", "k_proj", "v_proj"):
+                    fill(f"{p}.{attn}.{proj}.weight", (internal, C))
+                    fill(f"{p}.{attn}.{proj}.bias", (internal,))
+                fill(f"{p}.{attn}.out_proj.weight", (C, internal))
+                fill(f"{p}.{attn}.out_proj.bias", (C,))
+            for ln in ("norm1", "norm2", "norm3", "norm4"):
+                fill(f"{p}.{ln}.weight", (C,))
+                fill(f"{p}.{ln}.bias", (C,))
+            fill(f"{p}.mlp.lin1.weight", (cfg.decoder_mlp_dim, C))
+            fill(f"{p}.mlp.lin1.bias", (cfg.decoder_mlp_dim,))
+            fill(f"{p}.mlp.lin2.weight", (C, cfg.decoder_mlp_dim))
+            fill(f"{p}.mlp.lin2.bias", (C,))
+        p = "mask_decoder.transformer.final_attn_token_to_image"
+        for proj in ("q_proj", "k_proj", "v_proj"):
+            fill(f"{p}.{proj}.weight", (C // 2, C))
+            fill(f"{p}.{proj}.bias", (C // 2,))
+        fill(f"{p}.out_proj.weight", (C, C // 2))
+        fill(f"{p}.out_proj.bias", (C,))
+        fill("mask_decoder.transformer.norm_final_attn.weight", (C,))
+        fill("mask_decoder.transformer.norm_final_attn.bias", (C,))
+        fill("mask_decoder.output_upscaling.0.weight", (C, C // 4, 2, 2))
+        fill("mask_decoder.output_upscaling.0.bias", (C // 4,))
+        fill("mask_decoder.output_upscaling.1.weight", (C // 4,))
+        fill("mask_decoder.output_upscaling.1.bias", (C // 4,))
+        fill("mask_decoder.output_upscaling.3.weight", (C // 4, C // 8, 2, 2))
+        fill("mask_decoder.output_upscaling.3.bias", (C // 8,))
+        for i in range(cfg.num_mask_tokens):
+            p = f"mask_decoder.output_hypernetworks_mlps.{i}"
+            fill(f"{p}.layers.0.weight", (C, C))
+            fill(f"{p}.layers.0.bias", (C,))
+            fill(f"{p}.layers.1.weight", (C, C))
+            fill(f"{p}.layers.1.bias", (C,))
+            fill(f"{p}.layers.2.weight", (C // 8, C))
+            fill(f"{p}.layers.2.bias", (C // 8,))
+        for i in range(cfg.iou_head_depth - 1):
+            p = f"mask_decoder.iou_prediction_head.layers.{i}"
+            fill(f"{p}.weight", (cfg.iou_head_hidden_dim,
+                                 C if i == 0 else cfg.iou_head_hidden_dim))
+            fill(f"{p}.bias", (cfg.iou_head_hidden_dim,))
+        p = f"mask_decoder.iou_prediction_head.layers.{cfg.iou_head_depth - 1}"
+        fill(f"{p}.weight", (cfg.num_mask_tokens, cfg.iou_head_hidden_dim))
+        fill(f"{p}.bias", (cfg.num_mask_tokens,))
+
+        converted = convert_sam(sd, cfg)
+        # structure must match the model's own init tree exactly (the
+        # text-prompt init path never touches mask_downscaling, so the
+        # converter carries it as an extra subtree -- drop for comparison)
+        cmp = {k: dict(v) for k, v in converted.items()}
+        cmp["prompt_encoder"] = {
+            k: v for k, v in cmp["prompt_encoder"].items()
+            if k != "mask_downscaling"
+        }
+        ref_struct = jax.tree.structure(ref_params["params"])
+        got_struct = jax.tree.structure(cmp)
+        assert ref_struct == got_struct, (
+            f"\nref:  {ref_struct}\ngot:  {got_struct}"
+        )
+        # spot-check exact placement
+        assert np.array_equal(
+            converted["image_encoder"]["block_0"]["attn"]["qkv"]["kernel"],
+            sd["image_encoder.blocks.0.attn.qkv.weight"].T,
+        )
+        # forward runs with converted weights
+        masks, iou = model.apply(
+            {"params": converted},
+            jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
+            jnp.zeros((1, 2, C)),
+        )
+        assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_conv_transpose_convention():
+    """The torch ConvTranspose2d -> flax ConvTranspose mapping must be
+    numerically exact (kernel 2, stride 2, the SAM upscaler shape)."""
+    import flax.linen as nn
+
+    torch.manual_seed(0)
+    tconv = torch.nn.ConvTranspose2d(6, 4, kernel_size=2, stride=2)
+    x = np.random.default_rng(0).normal(size=(1, 5, 5, 6)).astype(np.float32)
+    with torch.no_grad():
+        want = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    want = want.transpose(0, 2, 3, 1)
+
+    w = tconv.weight.detach().numpy()[:, :, ::-1, ::-1]
+    kernel = np.ascontiguousarray(w.transpose(2, 3, 0, 1))
+    bias = tconv.bias.detach().numpy()
+    flax_conv = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+    got = flax_conv.apply(
+        {"params": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}},
+        jnp.asarray(x),
+    )
+    assert np.abs(np.asarray(got) - want).max() < 1e-5
