@@ -104,6 +104,12 @@ def evaluate_batch(
             pred_masks, object_maps["p2v"], object_maps["bary"],
             int(object_maps.get("num_vertices", cfg.num_object_points)),
         )
+    if pred_contact_3d is not None:
+        # rows that emitted no seg token predict nothing (the reference
+        # gates the lift on non-empty pred_masks, InteractVLM.py:621)
+        pred_contact_3d = jnp.where(
+            jnp.asarray(has_seg)[:, None], pred_contact_3d, 0.0
+        )
 
     return {
         "generated_ids": gen_ids,

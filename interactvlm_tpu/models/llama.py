@@ -153,13 +153,18 @@ class LlamaAttention(nn.Module):
         new_cache = None
         if cache is not None:
             idx = cache["index"]
-            k_all = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0)
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0)
-            )
-            new_cache = {"k": k_all, "v": v_all, "index": idx + L}
+            if "k_scale" in cache:  # int8 KV cache (ops/quant.py)
+                from interactvlm_tpu.ops.quant import update_kv_cache_int8
+
+                new_cache, k_all, v_all = update_kv_cache_int8(cache, k, v)
+            else:
+                k_all = jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0)
+                )
+                v_all = jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0)
+                )
+                new_cache = {"k": k_all, "v": v_all, "index": idx + L}
             k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
             # mask: key positions beyond idx + L are invalid; causal within.
             Lk = k.shape[1]

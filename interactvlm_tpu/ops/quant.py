@@ -1,0 +1,123 @@
+"""Int8 quantization: weights and the KV cache.
+
+TPU-native replacement for the reference's bitsandbytes int8/int4 demo
+path (``run_demo.py:106-129``) and the int8 KV-cache decode requirement
+(BASELINE.json north star). Symmetric per-channel int8 with fp32 scales;
+int8 matmuls hit the MXU's int8 path via ``preferred_element_type=int32``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_int8(x, axis: int = -1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-slice int8 quantization along ``axis``.
+
+    Returns (q int8, scale f32 with ``axis`` kept as size-1).
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_int8(q, scale, dtype=jnp.float32):
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def int8_matmul(x, w_q, w_scale, dtype=jnp.bfloat16):
+    """x (…, K) @ int8 W (K, N) with per-output-channel scales (1, N).
+
+    The activation is quantized per-row so the contraction runs int8xint8
+    on the MXU and is rescaled once.
+    """
+    x_q, x_scale = quantize_int8(x, axis=-1)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * x_scale * w_scale).astype(dtype)
+
+
+def quantize_params_int8(params, filter_fn=None, min_size: int = 2 ** 16):
+    """Quantize selected kernels of a param tree to int8 (stored as
+    {'q': int8, 'scale': f32}); small/1-D leaves stay as-is. Used to halve
+    serving memory for the LLaMA weights (the reference's bnb int8 role)."""
+
+    def walk(path, node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                p = path + (k,)
+                if (
+                    k == "kernel"
+                    and hasattr(v, "ndim")
+                    and v.ndim == 2
+                    and v.size >= min_size
+                    and (filter_fn is None or filter_fn("/".join(p)))
+                ):
+                    q, s = quantize_int8(jnp.asarray(v), axis=0)
+                    out[k] = {"q": q, "scale": s}
+                else:
+                    out[k] = walk(p, v)
+            return out
+        return node
+
+    return walk((), params)
+
+
+def dequantize_params(params, dtype=jnp.bfloat16):
+    """Inverse of ``quantize_params_int8`` (materialize dense weights)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if set(node.keys()) == {"q", "scale"}:
+                return dequantize_int8(node["q"], node["scale"], dtype)
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
+# --- int8 KV cache ---------------------------------------------------------
+def init_kv_cache_int8(config, batch: int, max_len: int):
+    """Per-layer int8 KV caches with per-position/head scales.
+
+    Layout: k/v (B, L, nkv, d) int8; k_scale/v_scale (B, L, nkv, 1) f32.
+    """
+    shape = (batch, max_len, config.num_kv_heads, config.head_dim)
+    sshape = (batch, max_len, config.num_kv_heads, 1)
+    return tuple(
+        {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
+            "index": jnp.int32(0),
+        }
+        for _ in range(config.num_layers)
+    )
+
+
+def update_kv_cache_int8(cache: Dict, k_new, v_new):
+    """Quantize and insert a (B, L, nkv, d) chunk at the cache cursor;
+    returns (new_cache, k_deq, v_deq) with the full dequantized cache."""
+    idx = cache["index"]
+    L = k_new.shape[1]
+    kq, ks = quantize_int8(k_new, axis=-1)
+    vq, vs = quantize_int8(v_new, axis=-1)
+    at = (0, idx, 0, 0)
+    new = {
+        "k": jax.lax.dynamic_update_slice(cache["k"], kq, at),
+        "v": jax.lax.dynamic_update_slice(cache["v"], vq, at),
+        "k_scale": jax.lax.dynamic_update_slice(cache["k_scale"], ks, at),
+        "v_scale": jax.lax.dynamic_update_slice(cache["v_scale"], vs, at),
+        "index": idx + L,
+    }
+    k_deq = dequantize_int8(new["k"], new["k_scale"])
+    v_deq = dequantize_int8(new["v"], new["v_scale"])
+    return new, k_deq, v_deq

@@ -1,0 +1,112 @@
+"""Int8 quantization tests: round-trip error, int8 matmul accuracy, param
+tree quantization, and int8 KV-cache decode vs the dense cache."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from interactvlm_tpu.config import llama_tiny
+from interactvlm_tpu.models.llama import LlamaForCausalLM, init_kv_cache
+from interactvlm_tpu.ops.quant import (
+    dequantize_int8,
+    dequantize_params,
+    init_kv_cache_int8,
+    int8_matmul,
+    quantize_int8,
+    quantize_params_int8,
+    update_kv_cache_int8,
+)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    q, s = quantize_int8(x, axis=-1)
+    assert q.dtype == jnp.int8
+    back = dequantize_int8(q, s)
+    rel = float(jnp.abs(back - x).max() / jnp.abs(x).max())
+    assert rel < 0.02
+
+
+def test_int8_matmul_close_to_fp32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    wq, ws = quantize_int8(w, axis=0)
+    got = np.asarray(int8_matmul(x, wq, ws, dtype=jnp.float32))
+    want = np.asarray(x @ w)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.05, rel
+
+
+def test_param_tree_quantization_halves_memory():
+    cfg = llama_tiny()
+    model = LlamaForCausalLM(cfg)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    import flax.linen as nn
+
+    p = nn.meta.unbox(params)["params"]
+    qp = quantize_params_int8(p, min_size=1024)
+    # at least the big matmuls got quantized
+    q_leaves = [
+        x for x in jax.tree.leaves(qp) if getattr(x, "dtype", None) == jnp.int8
+    ]
+    assert q_leaves, "nothing quantized"
+    # dequantized params still produce close logits
+    dp = dequantize_params(qp, dtype=jnp.float32)
+    l1, _ = model.apply({"params": p}, ids)
+    l2, _ = model.apply({"params": dp}, ids)
+    probs1 = jax.nn.softmax(l1.astype(jnp.float32))
+    probs2 = jax.nn.softmax(l2.astype(jnp.float32))
+    assert float(jnp.abs(probs1 - probs2).max()) < 0.05
+
+
+def test_int8_kv_cache_decode_matches_dense():
+    """Decode with the int8 cache must track the dense-cache logits."""
+    cfg = llama_tiny()
+    model = LlamaForCausalLM(cfg)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 10)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    def run(caches):
+        emb = model.apply(params, ids[:, :6], method=LlamaForCausalLM.embed)
+        pos = jnp.broadcast_to(jnp.arange(6)[None], (2, 6))
+        lg, _, caches = model.apply(
+            params, emb, pos, None, caches,
+            method=LlamaForCausalLM.forward_embeds,
+        )
+        outs = [lg[:, -1]]
+        for t in range(6, 10):
+            e = model.apply(
+                params, ids[:, t : t + 1], method=LlamaForCausalLM.embed
+            )
+            lg, _, caches = model.apply(
+                params, e, jnp.full((2, 1), t), None, caches,
+                method=LlamaForCausalLM.forward_embeds,
+            )
+            outs.append(lg[:, -1])
+        return jnp.stack(outs, 1)
+
+    dense = run(init_kv_cache(cfg, 2, 10))
+    quant = run(init_kv_cache_int8(cfg, 2, 10))
+    pd = jax.nn.softmax(dense.astype(jnp.float32), -1)
+    pq = jax.nn.softmax(quant.astype(jnp.float32), -1)
+    err = float(jnp.abs(pd - pq).max())
+    assert err < 0.05, err
+    # argmax tokens agree
+    assert (jnp.argmax(dense, -1) == jnp.argmax(quant, -1)).mean() > 0.9
+
+
+def test_update_kv_cache_int8_placement():
+    cfg = llama_tiny()
+    cache = init_kv_cache_int8(cfg, 1, 8)[0]
+    k = jnp.ones((1, 2, cfg.num_kv_heads, cfg.head_dim)) * 0.5
+    v = -k
+    new, kd, vd = update_kv_cache_int8(cache, k, v)
+    assert int(new["index"]) == 2
+    assert np.allclose(np.asarray(kd[:, :2]), 0.5, atol=0.01)
+    assert np.allclose(np.asarray(kd[:, 2:]), 0.0)
+    assert np.allclose(np.asarray(vd[:, :2]), -0.5, atol=0.01)
