@@ -24,6 +24,7 @@ matching the reference 14-field tuple (hcontact_3d.py:352-366).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import pickle
 import random
@@ -412,3 +413,257 @@ class HybridDataset:
             int(self.rng.choice(len(self.datasets), p=self.rates))
         ]
         return ds[int(self.rng.integers(len(ds)))]
+
+
+class HContactSceneDataset(HContactDataset):
+    """RICH scene contact (reference ``datasets/hcontactScene_3d.py``):
+    same canonical-body machinery as DAMON, with the object class fixed to
+    'scene' (hcontactScene_3d.py:53)."""
+
+    ds_name = "hcontact_scene"
+
+    def __init__(self, base_dir: str, **kw):
+        kw.setdefault("question_type", "simple")
+        super().__init__(base_dir, **kw)
+        # every sample queries the scene
+        self.samples = [
+            (img, obj, "scene") for (img, obj, _) in self.samples
+        ]
+
+
+class OContactDataset(BaseContactDataset):
+    """PICO object-mesh contact (reference ``datasets/ocontact_3d.py:
+    380-527``): per-sample low-poly mesh renders with binary contact masks
+    and per-sample pixel->vertex maps (variable vertex counts, padded to
+    ``max_vertices`` for fixed-shape batching)."""
+
+    ds_name = "ocontact"
+
+    def __init__(
+        self,
+        base_dir: str,
+        view_type: str = "4MV-Z_HM_BM",
+        split: str = "train",
+        max_vertices: int = 8192,
+        question_type: str = "simple",
+        **kw,
+    ):
+        super().__init__(base_dir, OBJECT_VIEWS[view_type], **kw)
+        self.split = split
+        self.max_vertices = max_vertices
+        self.question_type = question_type
+        self.folder = join(base_dir, "pico_ocontact")
+        index = _load_pickle(join(self.folder, "index.pkl"))
+        self.samples = index[split]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Sample:
+        rec = self.samples[idx]
+        oid = rec["object_id"]
+        paths = [
+            join(self.folder, "renders", f"{oid}_{v}.png")
+            for v in self.view_set.names
+        ]
+        sam_images, valid, _, resize = self.load_views(paths)
+        mask_paths = [
+            join(self.folder, "masks", f"{oid}_{v}.png")
+            for v in self.view_set.names
+        ]
+        masks = self.load_label_masks(mask_paths, valid)
+
+        gt_file = np.load(join(self.folder, "gt", f"{oid}.npz"))
+        contact = gt_file["contact"].astype(np.float32)
+        gt = np.zeros(self.max_vertices, np.float32)
+        gt[: min(contact.size, self.max_vertices)] = contact[
+            : self.max_vertices
+        ]
+
+        conv, q = self.object_conversation(
+            rec["class_name"], question_type=self.question_type
+        )
+        return Sample(
+            image_path=join(self.base_dir, "images", rec["image"]),
+            sam_images=sam_images,
+            image_clip=self.load_clip_image(
+                join(self.base_dir, "images", rec["image"])
+            ),
+            conversations=[conv],
+            masks=masks,
+            label=masks[0],
+            gt_contact_3d=gt,
+            cam_params=self.cam_params(),
+            resize=resize,
+            questions=[q],
+            sampled_classes=[rec["class_name"]],
+            ds_name=self.ds_name,
+            mask_paths=mask_paths,
+        )
+
+
+class H2DContactDataset(BaseContactDataset):
+    """DAMON contact projected onto the *input image* -- 2D referring
+    segmentation, single view (reference ``datasets/hcontact_2d.py``)."""
+
+    ds_name = "h2dcontact"
+
+    def __init__(self, base_dir: str, split: str = "train",
+                 view_type: str = "4MV-Z_Vitru_mv2", **kw):
+        super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
+        self.folder = join(base_dir, "hcontact_2d")
+        index = _load_pickle(join(self.folder, "index.pkl"))
+        self.samples = index[split]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Sample:
+        rec = self.samples[idx]
+        img_path = join(self.base_dir, "images", rec["image"])
+        img = load_image_rgb(img_path)
+        sam_img, resize = sam_preprocess(img, self.image_size)
+        from PIL import Image as _I
+
+        mask_path = join(self.folder, "masks", rec["mask"])
+        mask = (np.asarray(_I.open(mask_path).convert("L")) >= 128).astype(
+            np.float32
+        )
+        conv, q = self.human_conversation(rec["class_name"], "simple")
+        return Sample(
+            image_path=img_path,
+            sam_images=sam_img[None],
+            image_clip=self.load_clip_image(img_path),
+            conversations=[conv],
+            masks=mask[None],
+            label=mask,
+            gt_contact_3d=np.zeros(1, np.float32),
+            cam_params=np.zeros((1, 5), np.float32),
+            resize=resize,
+            questions=[q],
+            sampled_classes=[rec["class_name"]],
+            ds_name=self.ds_name,
+            mask_paths=[mask_path],
+        )
+
+
+def rle_decode(rle: Dict) -> np.ndarray:
+    """Decode COCO-style (un)compressed RLE masks -- the host-side
+    replacement for the pycocotools C extension (reference
+    datasets/dataset.py:541-552). Supports uncompressed ``counts`` lists
+    and the compressed LEB128-style string encoding."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        if isinstance(counts, str):
+            counts = counts.encode()
+        decoded, i, prev = [], 0, 0
+        while i < len(counts):
+            x, k, more = 0, 0, True
+            while more:
+                c = counts[i] - 48
+                x |= (c & 0x1F) << (5 * k)
+                more = bool(c & 0x20)
+                i += 1
+                k += 1
+            if x & (1 << (5 * k - 1)):
+                x |= -1 << (5 * k)
+            if len(decoded) > 2:
+                x += decoded[-2]
+            decoded.append(x)
+        counts = decoded
+    mask = np.zeros(h * w, np.uint8)
+    pos, val = 0, 0
+    for c in counts:
+        if val:
+            mask[pos : pos + c] = 1
+        pos += c
+        val ^= 1
+    return mask.reshape(w, h).T  # column-major like pycocotools
+
+
+class ReferSegDataset(BaseContactDataset):
+    """LISA-legacy referring segmentation (refclef/refcoco/+/g; reference
+    ``datasets/refer_seg_dataset.py``). Requires the external REFER corpora;
+    annotation records carry RLE or polygon masks.
+
+    index.pkl: {split: [{image, class_name/sent, mask_rle | mask_file}]}
+    """
+
+    ds_name = "refer_seg"
+
+    def __init__(self, base_dir: str, dataset: str = "refcoco",
+                 split: str = "train",
+                 view_type: str = "4MV-Z_Vitru_mv2", **kw):
+        super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
+        self.folder = join(base_dir, "refer_seg", dataset)
+        index = _load_pickle(join(self.folder, "index.pkl"))
+        self.samples = index[split]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Sample:
+        rec = self.samples[idx]
+        img_path = join(self.base_dir, "images", rec["image"])
+        img = load_image_rgb(img_path)
+        sam_img, resize = sam_preprocess(img, self.image_size)
+        if "mask_rle" in rec:
+            mask = rle_decode(rec["mask_rle"]).astype(np.float32)
+        else:
+            from PIL import Image as _I
+
+            mask = (
+                np.asarray(
+                    _I.open(join(self.folder, "masks", rec["mask_file"]))
+                    .convert("L")
+                )
+                >= 128
+            ).astype(np.float32)
+        sent = rec.get("sent") or rec["class_name"]
+        q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
+            class_name=sent.lower()
+        )
+        a = self.rng.choice(C.ANSWER_LIST)
+        conv = build_conversation(q, a, self.conv_type)
+        return Sample(
+            image_path=img_path,
+            sam_images=sam_img[None],
+            image_clip=self.load_clip_image(img_path),
+            conversations=[conv],
+            masks=mask[None],
+            label=mask,
+            gt_contact_3d=np.zeros(1, np.float32),
+            cam_params=np.zeros((1, 5), np.float32),
+            resize=resize,
+            questions=[q],
+            sampled_classes=[sent],
+            ds_name=self.ds_name,
+            mask_paths=[],
+        )
+
+
+class ValDataset:
+    """Validation wrapper: a fixed, ordered pass over one task dataset
+    (reference ``datasets/dataset.py:381-592`` semantics for the contact
+    datasets -- deterministic order, inference flag set)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx: int) -> Sample:
+        s = self.dataset[idx]
+        return dataclasses.replace(s, inference=True)
+
+
+DATASET_REGISTRY.update(
+    {
+        "hcontact_scene": HContactSceneDataset,
+        "ocontact": OContactDataset,
+        "h2dcontact": H2DContactDataset,
+        "refer_seg": ReferSegDataset,
+    }
+)

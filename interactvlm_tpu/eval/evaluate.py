@@ -314,3 +314,132 @@ def damon_semantic_contact(saved: Dict) -> Dict:
         "weighted_f1": weighted_f1,
         "categories": categories,
     }
+
+
+def main(argv=None):
+    """Eval CLI (reference ``evaluate.py main_eval``, :486-601): re-hydrate
+    the training config from the run dir (eval_utils.py:215-244), restore
+    the exported/best params, run generate-mode validation on the requested
+    dataset, and emit the DAMON reports."""
+    import argparse
+    import json
+    import os
+
+    import jax
+
+    p = argparse.ArgumentParser("interactvlm_tpu evaluation")
+    p.add_argument("--run_dir", required=True,
+                   help="training run dir (config + checkpoints)")
+    p.add_argument("--dataset_dir", default="./data")
+    p.add_argument("--val_dataset", default="hcontact")
+    p.add_argument("--inference_type", default="generate",
+                   choices=["generate", "forward"])
+    p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    from interactvlm_tpu.train.checkpoints import CheckpointManager, load_config
+    from interactvlm_tpu.train.train import build_model_and_config, parse_args
+
+    cfg_json = load_config(args.run_dir, "pretrained_config.json")
+    train_args = parse_args([])
+    for k, v in cfg_json.items():
+        if hasattr(train_args, k):
+            setattr(train_args, k, v)
+    model, cfg = build_model_and_config(train_args)
+
+    import flax.linen as nn
+
+    from interactvlm_tpu.utils.testing import make_synthetic_batch
+
+    example = make_synthetic_batch(cfg, B=args.batch_size,
+                                   mask_size=train_args.mask_size)
+    abstract = jax.eval_shape(
+        lambda: nn.meta.unbox(model.init(jax.random.PRNGKey(0), example))
+    )
+    from interactvlm_tpu.train.optimizer import make_optimizer, trainable_mask
+    from interactvlm_tpu.train.train_step import TrainState
+
+    tx, _ = make_optimizer(mask=trainable_mask)
+    abstract_state = TrainState(
+        step=jax.ShapeDtypeStruct((), "int32"),
+        params=abstract,
+        opt_state=jax.eval_shape(tx.init, abstract),
+    )
+    ckpt = CheckpointManager(args.run_dir)
+    state = ckpt.restore_best(abstract_state) or ckpt.restore(abstract_state)
+    assert state is not None, f"no checkpoint in {args.run_dir}"
+    params = state.params
+
+    if args.synthetic:
+        def batches():
+            for i in range(args.max_batches or 2):
+                b = make_synthetic_batch(
+                    cfg, B=args.batch_size, tasks=(2,),
+                    mask_size=train_args.mask_size, seed=i,
+                )
+                meta = {
+                    "image_paths": [f"img{i}_{j}.jpg"
+                                    for j in range(args.batch_size)],
+                    "sampled_classes_list": [["chair"]] * args.batch_size,
+                }
+                yield b, meta
+        human_maps = {
+            "p2v": example["human_p2v"], "bary": example["human_bary"],
+            "num_vertices": cfg.num_human_vertices,
+        }
+        mask_size = train_args.mask_size
+    else:
+        from interactvlm_tpu.data.collate import collate
+        from interactvlm_tpu.data.datasets import DATASET_REGISTRY, ValDataset
+        from transformers import AutoTokenizer
+
+        from interactvlm_tpu.utils.constants import add_new_tokens
+
+        tokenizer = AutoTokenizer.from_pretrained(cfg_json["version"])
+        tokenizer.pad_token = tokenizer.unk_token
+        tokenizer, *_ = add_new_tokens(tokenizer, train_args.token_type)
+        ds = ValDataset(
+            DATASET_REGISTRY[args.val_dataset](
+                args.dataset_dir, split="test"
+            )
+        )
+        mask_size = ds.dataset.view_set.mask_size
+        maps_npz = np.load(
+            os.path.join(args.dataset_dir, "human_lift_maps.npz")
+        )
+        human_maps = {
+            "p2v": jnp.asarray(maps_npz["p2v"]),
+            "bary": jnp.asarray(maps_npz["bary"]),
+            "num_vertices": cfg.num_human_vertices,
+        }
+
+        def batches():
+            for i in range(0, len(ds), args.batch_size):
+                samples = [ds[j] for j in
+                           range(i, min(i + args.batch_size, len(ds)))]
+                yield collate(samples, tokenizer,
+                              max_len=train_args.model_max_length)
+
+    results, saved = validate(
+        batches(), model, params, cfg, args.val_dataset, mask_size,
+        inference_type=args.inference_type,
+        human_maps=human_maps, max_batches=args.max_batches,
+    )
+    report = {"metrics": results}
+    if "hcontact" in args.val_dataset and saved["pred"]:
+        report["damon_binary"] = damon_binary_contact(saved)
+        report["damon_semantic"] = {
+            "weighted_f1": damon_semantic_contact(saved)["weighted_f1"]
+        }
+    print(json.dumps(report, indent=2, default=float))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Observability: profiler capture, step timing, and metric logging.
+
+The reference has only wall-clock meters + TB/wandb logging
+(SURVEY.md §5 "tracing/profiling"); here:
+- ``profile_trace``: context manager around ``jax.profiler`` (XPlane traces
+  viewable in TensorBoard / xprof);
+- ``StepTimer``: data/compute wall-clock split (the reference's
+  batch_time/data_time meters, train.py:485-486);
+- ``MetricLogger``: JSONL metric stream (always) + optional TensorBoard and
+  wandb sinks when those packages exist (reference utils/utils.py:445-482).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str, enabled: bool = True):
+    import jax
+
+    if not enabled:
+        yield
+        return
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named trace region (shows up in the xprof timeline)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    def __init__(self):
+        self.t_last = time.perf_counter()
+        self.data_s = 0.0
+        self.step_s = 0.0
+
+    def mark_data(self):
+        now = time.perf_counter()
+        self.data_s = now - self.t_last
+        self.t_last = now
+
+    def mark_step(self):
+        now = time.perf_counter()
+        self.step_s = now - self.t_last
+        self.t_last = now
+        return {"data_secs": self.data_s, "step_secs": self.step_s}
+
+
+class MetricLogger:
+    """JSONL metrics with optional TensorBoard/wandb mirrors."""
+
+    def __init__(self, log_dir: str, use_tb: bool = False,
+                 use_wandb: bool = False, wandb_kwargs: Optional[Dict] = None):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.tb = None
+        self.wandb = None
+        if use_tb:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except Exception:
+                pass
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(**(wandb_kwargs or {}))
+                self.wandb = wandb
+            except Exception:
+                pass
+
+    def log(self, step: int, metrics: Dict[str, float]):
+        rec = {"step": int(step)}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.tb is not None:
+            for k, v in rec.items():
+                if k != "step":
+                    self.tb.add_scalar(k, v, step)
+        if self.wandb is not None:
+            self.wandb.log(rec, step=step)
+
+    def close(self):
+        self._f.close()
+        if self.tb is not None:
+            self.tb.close()

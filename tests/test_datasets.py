@@ -162,3 +162,83 @@ class TestHybridAndCollate:
         assert batch["sam_images"].shape[0] == 3
         assert batch["input_ids"].shape == (3, 400 - 255)
         assert len(meta["ds_name_list"]) == 3
+
+
+class TestNewDatasets:
+    def test_rle_decode_uncompressed(self):
+        from interactvlm_tpu.data.datasets import rle_decode
+
+        # 3x3 column-major: 2 zeros, 4 ones, 3 zeros
+        m = rle_decode({"size": [3, 3], "counts": [2, 4, 3]})
+        assert m.shape == (3, 3)
+        assert m.sum() == 4
+        flat = m.T.reshape(-1)  # column-major order
+        assert list(flat) == [0, 0, 1, 1, 1, 1, 0, 0, 0]
+
+    def test_rle_decode_compressed_roundtrip(self):
+        from interactvlm_tpu.data.datasets import rle_decode
+
+        try:
+            from pycocotools import mask as maskUtils
+        except ImportError:
+            pytest.skip("pycocotools unavailable for cross-check")
+        rng = np.random.default_rng(0)
+        m = (rng.random((13, 17)) > 0.6).astype(np.uint8)
+        enc = maskUtils.encode(np.asfortranarray(m))
+        got = rle_decode(
+            {"size": enc["size"], "counts": enc["counts"]}
+        )
+        assert np.array_equal(got, m)
+
+    def test_hcontact_scene_fixed_class(self, data_root):
+        from interactvlm_tpu.data.datasets import HContactSceneDataset
+
+        ds = HContactSceneDataset(data_root, image_size=64)
+        s = ds[0]
+        assert s.sampled_classes == ["scene"]
+        assert s.ds_name == "hcontact_scene"
+
+    def test_val_dataset_sets_inference(self, data_root):
+        from interactvlm_tpu.data.datasets import ValDataset
+
+        ds = ValDataset(HContactDataset(data_root, image_size=64))
+        assert ds[0].inference is True
+        assert len(ds) == 2
+
+    def test_rle_compressed_decode_with_local_encoder(self):
+        """Cross-check the LEB128-style compressed decode against a local
+        encoder implementing the documented COCO scheme."""
+        from interactvlm_tpu.data.datasets import rle_decode
+
+        def encode_counts(counts):
+            out = bytearray()
+            for i, x in enumerate(counts):
+                if i > 2:
+                    x -= counts[i - 2]
+                more = True
+                while more:
+                    c = x & 0x1F
+                    x >>= 5
+                    more = not (
+                        (x == 0 and not (c & 0x10))
+                        or (x == -1 and (c & 0x10))
+                    )
+                    if more:
+                        c |= 0x20
+                    out.append(c + 48)
+            return bytes(out)
+
+        rng = np.random.default_rng(1)
+        m = (rng.random((9, 7)) > 0.5).astype(np.uint8)
+        flat = m.T.reshape(-1)
+        counts, prev, run = [], 0, 0
+        for v in flat:
+            if v == prev:
+                run += 1
+            else:
+                counts.append(run)
+                prev, run = v, 1
+        counts.append(run)
+        enc = encode_counts(counts)
+        got = rle_decode({"size": [9, 7], "counts": enc})
+        assert np.array_equal(got, m)

@@ -96,11 +96,14 @@ class TestCameras:
         assert ov.num_views == 10 and ov.heatmap
 
     def test_normalize_cam_params(self):
+        # exact reference semantics (base_contact_dataset.py:37-50)
         p = np.array([[2.0, 315.0, 135.0, 0.0, 0.3]])
         n = normalize_cam_params(p)
-        assert n[0, 0] == pytest.approx(2.0 / 3.0)
-        assert n[0, 1] == pytest.approx(-45.0 / 90.0)  # 315 wraps to -45
-        assert n[0, 2] == pytest.approx(135.0 / 180.0)
+        assert n[0, 0] == pytest.approx(2.0 / 10.0)
+        assert n[0, 1] == pytest.approx(315.0 / 360.0)
+        assert n[0, 2] == pytest.approx(135.0 / 360.0)
+        assert n[0, 3] == pytest.approx(0.5)
+        assert n[0, 4] == pytest.approx(0.65)
 
 
 class TestRasterizer:

@@ -116,3 +116,30 @@ def test_train_cli_resume(tmp_path):
         "--exp_name", "r", "--resume", "--no_eval",
     ])
     assert int(state.step) == 4
+
+
+@pytest.mark.slow
+def test_train_export_eval_chain(tmp_path):
+    """Full lifecycle: train -> export (LoRA merge) -> eval CLI."""
+    from interactvlm_tpu.train.train import main as train_main
+
+    train_main([
+        "--synthetic", "--epochs", "1", "--steps_per_epoch", "2",
+        "--batch_size", "2", "--log_base_dir", str(tmp_path),
+        "--exp_name", "chain",
+    ])
+    run_dir = str(tmp_path / "chain")
+
+    from interactvlm_tpu.train.export import main as export_main
+
+    export_main(["--run_dir", run_dir, "--out_dir", str(tmp_path / "exp")])
+    assert (tmp_path / "exp" / "params").exists()
+
+    from interactvlm_tpu.eval.evaluate import main as eval_main
+
+    report = eval_main([
+        "--run_dir", run_dir, "--synthetic", "--max_batches", "1",
+        "--val_dataset", "hcontact",
+    ])
+    assert "metrics" in report and "f1" in report["metrics"]
+    assert "damon_binary" in report
