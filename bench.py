@@ -42,9 +42,41 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 2.5
 
 
+def _sphere(n_lat=60, n_lon=80, radius=0.8):
+    """~4.7k-vertex test body for realistic lift maps."""
+    verts = [(0.0, radius, 0.0)]
+    for i in range(1, n_lat):
+        t = np.pi * i / n_lat
+        for j in range(n_lon):
+            p = 2 * np.pi * j / n_lon
+            verts.append((radius * np.sin(t) * np.cos(p),
+                          radius * np.cos(t),
+                          radius * np.sin(t) * np.sin(p)))
+    verts.append((0.0, -radius, 0.0))
+    faces = []
+    for j in range(n_lon):
+        faces.append((0, 1 + j, 1 + (j + 1) % n_lon))
+    for i in range(n_lat - 2):
+        r0, r1 = 1 + i * n_lon, 1 + (i + 1) * n_lon
+        for j in range(n_lon):
+            a, b = r0 + j, r0 + (j + 1) % n_lon
+            c, d = r1 + j, r1 + (j + 1) % n_lon
+            faces += [(a, c, b), (b, c, d)]
+    last = len(verts) - 1
+    ring = 1 + (n_lat - 2) * n_lon
+    for j in range(n_lon):
+        faces.append((last, ring + (j + 1) % n_lon, ring + j))
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+
 def main():
     from interactvlm_tpu.config import sam_vit_b, sam_vit_h
-    from interactvlm_tpu.geometry.lift import lift_multiview_soft
+    from interactvlm_tpu.geometry.lift import (
+        build_gather_maps,
+        lift_multiview_soft_gather,
+    )
+    from interactvlm_tpu.geometry.rasterizer import build_lift_maps, pick_window
+    from interactvlm_tpu.geometry.views import HUMAN_VIEWS
     from interactvlm_tpu.models.sam import Sam
 
     on_tpu = jax.default_backend() == "tpu"
@@ -63,7 +95,6 @@ def main():
 
     S = cfg.img_size
     mask_size = 1024 if on_tpu else 256
-    n_verts = 6890
 
     model = Sam(cfg)
     key = jax.random.PRNGKey(0)
@@ -73,15 +104,24 @@ def main():
     # op-by-op eager init would take forever
     params = jax.jit(model.init)(key, pixels[:1], text[None])
 
-    rng = np.random.default_rng(0)
-    p2v = jnp.asarray(
-        rng.integers(-1, n_verts, (V, mask_size, mask_size, 3)), dtype=jnp.int32
+    # realistic lift maps: rasterize a canonical body-like mesh under the
+    # real Vitruvian cameras, then invert to the gather form (the TPU fast
+    # path -- scatters serialize, gathers don't)
+    verts, faces = _sphere()
+    n_verts = len(verts)
+    cams = HUMAN_VIEWS["4MV-Z_Vitru_mv2"].cam_params()[:V]
+    win = max(pick_window(verts, faces, c, mask_size) for c in cams)
+    p2v, bary, _ = build_lift_maps(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(cams),
+        mask_size, win,
     )
-    bary = jnp.asarray(
-        rng.dirichlet([1, 1, 1], (V, mask_size, mask_size)), dtype=jnp.float32
+    # K capped: test meshes have degenerate pole hubs; SMPL tops out far
+    # lower. Excess contributions at hub vertices are dropped (bench only).
+    gidx, gw = build_gather_maps(
+        np.asarray(p2v), np.asarray(bary), n_verts, max_k=256
     )
 
-    def pipeline(params, pixels, text):
+    def pipeline(params, pixels, text, gidx, gw):
         emb = model.apply(params, pixels, method=Sam.encode_image)
         prompts = jnp.broadcast_to(text[None], (V, V, cfg.prompt_embed_dim))
         low, _ = model.apply(params, emb, prompts, method=Sam.decode_masks)
@@ -89,15 +129,16 @@ def main():
             low[:, 0].astype(jnp.float32), (V, mask_size, mask_size),
             method="bilinear",
         )
-        return lift_multiview_soft(masks, p2v, bary, n_verts)
+        return lift_multiview_soft_gather(masks, gidx, gw)
 
     # amortize host->device dispatch latency: run `iters` pipeline
     # invocations inside one jit call via fori_loop (data-dependent so
-    # nothing is DCE'd)
-    def pipeline_n(params, pixels, text):
+    # nothing is DCE'd); large arrays passed as args so they don't bloat
+    # the (remote) compile payload as constants
+    def pipeline_n(params, pixels, text, gidx, gw):
         def body(i, acc):
             shifted = pixels + acc[0] * 1e-6
-            lifted = pipeline(params, shifted, text)
+            lifted = pipeline(params, shifted, text, gidx, gw)
             return (lifted.mean(), acc[1] + lifted.sum())
 
         return jax.lax.fori_loop(
@@ -105,11 +146,11 @@ def main():
         )
 
     fn = jax.jit(pipeline_n)
-    out = fn(params, pixels, text)
+    out = fn(params, pixels, text, gidx, gw)
     jax.block_until_ready(out)  # compile + warmup
 
     t0 = time.perf_counter()
-    out = fn(params, pixels, text)
+    out = fn(params, pixels, text, gidx, gw)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     images_per_sec = 1.0 / dt  # one sample (V views) per inner iteration

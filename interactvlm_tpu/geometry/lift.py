@@ -160,3 +160,74 @@ def lift_batch_soft(logits, p2v, bary, num_vertices: int, active=None):
     if active is not None:
         out = jnp.where(active[:, None], out, 0.0)
     return out
+
+
+# --- gather-form lift (TPU fast path) --------------------------------------
+def build_gather_maps(p2v, bary, num_vertices: int, max_k: int = None):
+    """Invert fixed pixel->vertex maps into per-vertex gather lists.
+
+    TPU scatters serialize; with the lift maps fixed per view-set, the
+    scatter becomes a dense gather: for each (view, vertex), the pixel
+    indices and barycentric weights that contribute to it, padded to
+    ``max_k``. Host-side numpy, run once per view-set.
+
+    Returns (idx (V, N, K) int32 into the flattened (H*W) view image,
+    w (V, N, K) float32 with zeros at padding).
+    """
+    import numpy as np
+
+    p2v = np.asarray(p2v)
+    bary = np.asarray(bary)
+    V = p2v.shape[0]
+    HW = p2v.shape[1] * p2v.shape[2]
+    flat_v = p2v.reshape(V, HW, 3)
+    flat_w = bary.reshape(V, HW, 3)
+
+    valid = (flat_v >= 0).all(-1) & (flat_v < num_vertices).all(-1)
+
+    per_view = []
+    k_needed = 1
+    for v in range(V):
+        pix = np.nonzero(valid[v])[0]
+        verts = flat_v[v, pix].reshape(-1)  # corner-major per pixel
+        pixels = np.repeat(pix, 3)
+        weights = flat_w[v, pix].reshape(-1)
+        order = np.argsort(verts, kind="stable")
+        sv, sp, sw = verts[order], pixels[order], weights[order]
+        # rank within each vertex group
+        group_start = np.searchsorted(sv, np.arange(num_vertices))
+        rank = np.arange(sv.size) - group_start[sv]
+        per_view.append((sv, sp, sw, rank))
+        if sv.size:
+            k_needed = max(k_needed, int(rank.max()) + 1)
+    k = k_needed if max_k is None else max_k
+
+    idx = np.zeros((V, num_vertices, k), np.int32)
+    w = np.zeros((V, num_vertices, k), np.float32)
+    for v, (sv, sp, sw, rank) in enumerate(per_view):
+        keep = rank < k
+        idx[v, sv[keep], rank[keep]] = sp[keep]
+        w[v, sv[keep], rank[keep]] = sw[keep]
+    return jnp.asarray(idx), jnp.asarray(w)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def lift_multiview_soft_gather(logits, gather_idx, gather_w):
+    """Gather-form soft lift, numerically identical to
+    ``lift_multiview_soft`` given maps from ``build_gather_maps``.
+
+    logits: (V, H, W); gather_idx/w: (V, N, K). Returns (N,).
+    """
+    V = logits.shape[0]
+    probs = jax.nn.sigmoid(
+        jnp.clip(logits.astype(jnp.float32), -20.0, 20.0)
+    ).reshape(V, -1)
+    vals = jax.vmap(lambda p, i: p[i])(probs, gather_idx)  # (V, N, K)
+    votes = (vals * gather_w).sum(-1)  # (V, N)
+    wsum = gather_w.sum(-1)
+    seen = wsum > 0
+    view_vote = jnp.where(seen, votes / jnp.where(seen, wsum, 1.0), 0.0)
+    count = seen.sum(0).astype(jnp.float32)
+    total = view_vote.sum(0)
+    out = jnp.where(count > 0, total / jnp.where(count > 0, count, 1.0), 0.0)
+    return jnp.clip(out, 0.0, 1.0)

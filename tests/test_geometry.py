@@ -305,3 +305,27 @@ class TestLift:
         pred = np.clip(pred, 0, 1)
 
         assert np.allclose(got, pred, atol=2e-4)
+
+
+class TestGatherLift:
+    def test_gather_matches_scatter(self, ):
+        from interactvlm_tpu.geometry.lift import (
+            build_gather_maps,
+            lift_multiview_soft,
+            lift_multiview_soft_gather,
+        )
+
+        rng = np.random.default_rng(0)
+        V, H, W, N = 3, 24, 24, 50
+        p2v = rng.integers(-1, N, (V, H, W, 3)).astype(np.int32)
+        bary = rng.dirichlet([1, 1, 1], (V, H, W)).astype(np.float32)
+        logits = rng.normal(size=(V, H, W)).astype(np.float32) * 4
+        want = np.asarray(
+            lift_multiview_soft(jnp.asarray(logits), jnp.asarray(p2v),
+                                jnp.asarray(bary), N)
+        )
+        idx, w = build_gather_maps(p2v, bary, N)
+        got = np.asarray(
+            lift_multiview_soft_gather(jnp.asarray(logits), idx, w)
+        )
+        assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
