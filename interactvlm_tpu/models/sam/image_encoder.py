@@ -126,18 +126,23 @@ class Attention(nn.Module):
                 fused_rel_attention,
             )
 
-            # on TPU every rel-pos block (global 64x64 and windowed 14x14)
-            # uses the fused flash kernel, avoiding the (HW)^2 bias
-            # materialization; CPU tests keep the XLA reference path.
-            if use_pallas_default() and H * W >= 128:
+            # global 64x64 blocks on TPU use the fused flash kernel (the
+            # naive bias would materialize (HW)^2 ~ 4GB); the small 14x14
+            # windows measure FASTER through plain XLA (the fused kernel's
+            # per-window grid programs are too small to amortize), so they
+            # keep the reference path.
+            if use_pallas_default() and H * W >= 1024:
                 out = fused_rel_attention(
                     q, k, v, rel_pos_h, rel_pos_w, (H, W)
                 )
             else:
                 # reference adds the bias to scaled logits
                 # (image_encoder.py:244-249): logits = (q*s)k^T + qR.
+                # bias stays in the compute dtype: in bf16 inference the
+                # (nWindows, nH, 196, 196) bias tensors dominate HBM traffic
                 bias = decomposed_rel_pos_bias(
-                    q.astype(jnp.float32), rel_pos_h, rel_pos_w, (H, W)
+                    q, rel_pos_h.astype(q.dtype), rel_pos_w.astype(q.dtype),
+                    (H, W),
                 )
                 out = dot_product_attention(
                     q, k, v, bias=bias, scale=head_dim**-0.5
@@ -159,7 +164,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         if self.window_size > 0:
             H, W = x.shape[1], x.shape[2]
             x, pad_hw = window_partition(x, self.window_size)
@@ -176,7 +181,7 @@ class Block(nn.Module):
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
         x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLPBlock(
             int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp"
         )(y)
@@ -228,10 +233,10 @@ class ImageEncoderViT(nn.Module):
             cfg.prompt_embed_dim, (1, 1), use_bias=False,
             dtype=cfg.dtype, name="neck_conv1",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="neck_ln1")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="neck_ln1")(x)
         x = nn.Conv(
             cfg.prompt_embed_dim, (3, 3), padding=1, use_bias=False,
             dtype=cfg.dtype, name="neck_conv2",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="neck_ln2")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="neck_ln2")(x)
         return x

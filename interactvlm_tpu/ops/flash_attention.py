@@ -45,19 +45,19 @@ def _flash_kernel(
 ):
     """One (bh, q-block) program. q_ref: (1, BQ, D); k/v_ref: (1, Lkp, D)."""
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0]  # keep input dtype for full-rate MXU
     Lkp = k_ref.shape[1]
     D = q_ref.shape[2]
     n_kb = Lkp // BLOCK_K
 
     def body(kb, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :]
+        v_blk = v_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (BQ, BK)
+        ) * scale  # (BQ, BK)
         k_idx = kb * BLOCK_K + jax.lax.broadcasted_iota(
             jnp.int32, (BLOCK_Q, BLOCK_K), 1
         )
@@ -75,7 +75,7 @@ def _flash_kernel(
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new

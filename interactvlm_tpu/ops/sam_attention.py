@@ -39,7 +39,7 @@ BLOCK_K = 128
 def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, lk, scale, W, Wp):
     """q_ref: (1, BQ, D); k/v_ref: (1, Lkp, D); rh_ref: (1, Hp, BQ);
     rw_ref: (1, BQ, Wpad)."""
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0]  # keep input dtype: bf16 x bf16 runs the MXU at full rate
     Lkp = k_ref.shape[1]
     D = q_ref.shape[2]
     n_kb = Lkp // BLOCK_K
@@ -56,12 +56,12 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, lk, scale, W, Wp):
 
     def body(kb, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :]
+        v_blk = v_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * scale
         rh = rh_ref[0, pl.ds(kb * rows_per_kb, rows_per_kb), :]  # (rpk, BQ)
         rh_exp = jax.lax.dot_general(
             rh.astype(jnp.float32), e_h, (((0,), (0,)), ((), ())),
@@ -86,7 +86,7 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, lk, scale, W, Wp):
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new
