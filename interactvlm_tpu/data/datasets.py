@@ -667,3 +667,151 @@ DATASET_REGISTRY.update(
         "refer_seg": ReferSegDataset,
     }
 )
+
+
+def fill_polygon(points, height: int, width: int) -> np.ndarray:
+    """Scanline polygon rasterization (host-side replacement for cv2's
+    fillPoly used by the reference ReasonSeg mask builder,
+    utils/data_processing.py)."""
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    mask = np.zeros((height, width), np.uint8)
+    if len(pts) < 3:
+        return mask
+    ys = np.arange(height) + 0.5
+    x0 = pts[:, 0]
+    y0 = pts[:, 1]
+    x1 = np.roll(x0, -1)
+    y1 = np.roll(y0, -1)
+    for yi, y in enumerate(ys):
+        crosses = ((y0 <= y) & (y1 > y)) | ((y1 <= y) & (y0 > y))
+        if not crosses.any():
+            continue
+        xs = x0[crosses] + (y - y0[crosses]) / (
+            y1[crosses] - y0[crosses]
+        ) * (x1[crosses] - x0[crosses])
+        xs = np.sort(xs)
+        for a, b in zip(xs[0::2], xs[1::2]):
+            lo = max(int(np.ceil(a - 0.5)), 0)
+            hi = min(int(np.ceil(b - 0.5)), width)
+            if hi > lo:
+                mask[yi, lo:hi] = 1
+    return mask
+
+
+class ReasonSegDataset(BaseContactDataset):
+    """LISA-legacy reasoning segmentation (reference
+    ``datasets/reason_seg_dataset.py``): JSON polygon annotations, long
+    explanatory questions.
+
+    index.pkl: {split: [{image, sent, polygons: [[x,y,...], ...],
+    is_sentence: bool}]}
+    """
+
+    ds_name = "reason_seg"
+
+    def __init__(self, base_dir: str, split: str = "train",
+                 view_type: str = "4MV-Z_Vitru_mv2",
+                 explanatory: float = 0.1, **kw):
+        super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
+        self.folder = join(base_dir, "reason_seg")
+        self.explanatory = explanatory
+        index = _load_pickle(join(self.folder, "index.pkl"))
+        self.samples = index[split]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Sample:
+        rec = self.samples[idx]
+        img_path = join(self.base_dir, "images", rec["image"])
+        img = load_image_rgb(img_path)
+        H, W = img.shape[:2]
+        sam_img, resize = sam_preprocess(img, self.image_size)
+        mask = np.zeros((H, W), np.float32)
+        for poly in rec["polygons"]:
+            mask = np.maximum(mask, fill_polygon(poly, H, W))
+
+        sent = rec["sent"]
+        if rec.get("is_sentence"):
+            q = self.rng.choice(C.LONG_QUESTION_LIST).format(sent=sent)
+        else:
+            q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
+                class_name=sent.lower()
+            )
+        a = self.rng.choice(C.ANSWER_LIST)
+        conv = build_conversation(q, a, self.conv_type)
+        return Sample(
+            image_path=img_path,
+            sam_images=sam_img[None],
+            image_clip=self.load_clip_image(img_path),
+            conversations=[conv],
+            masks=mask[None],
+            label=mask,
+            gt_contact_3d=np.zeros(1, np.float32),
+            cam_params=np.zeros((1, 5), np.float32),
+            resize=resize,
+            questions=[q],
+            sampled_classes=[sent],
+            ds_name=self.ds_name,
+            mask_paths=[],
+        )
+
+
+class SemSegDataset(BaseContactDataset):
+    """LISA-legacy semantic segmentation (ADE20K/COCO-Stuff-style;
+    reference ``datasets/sem_seg_dataset.py``).
+
+    index.pkl: {split: [{image, label_file, classes: {name: class_id}}]};
+    label_file is a PNG of class ids.
+    """
+
+    ds_name = "sem_seg"
+
+    def __init__(self, base_dir: str, dataset: str = "ade20k",
+                 split: str = "train",
+                 view_type: str = "4MV-Z_Vitru_mv2", **kw):
+        super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
+        self.folder = join(base_dir, "sem_seg", dataset)
+        index = _load_pickle(join(self.folder, "index.pkl"))
+        self.samples = index[split]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Sample:
+        rec = self.samples[idx]
+        img_path = join(self.base_dir, "images", rec["image"])
+        img = load_image_rgb(img_path)
+        sam_img, resize = sam_preprocess(img, self.image_size)
+        from PIL import Image as _I
+
+        label_ids = np.asarray(
+            _I.open(join(self.folder, "labels", rec["label_file"]))
+        )
+        name = self.rng.choice(sorted(rec["classes"]))
+        mask = (label_ids == rec["classes"][name]).astype(np.float32)
+        q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
+            class_name=name.lower()
+        )
+        a = self.rng.choice(C.ANSWER_LIST)
+        conv = build_conversation(q, a, self.conv_type)
+        return Sample(
+            image_path=img_path,
+            sam_images=sam_img[None],
+            image_clip=self.load_clip_image(img_path),
+            conversations=[conv],
+            masks=mask[None],
+            label=mask,
+            gt_contact_3d=np.zeros(1, np.float32),
+            cam_params=np.zeros((1, 5), np.float32),
+            resize=resize,
+            questions=[q],
+            sampled_classes=[name],
+            ds_name=self.ds_name,
+            mask_paths=[],
+        )
+
+
+DATASET_REGISTRY.update(
+    {"reason_seg": ReasonSegDataset, "sem_seg": SemSegDataset}
+)

@@ -186,6 +186,9 @@ def main(argv=None):
     model, cfg = build_model_and_config(args)
     save_config(run_dir, vars(args), "pretrained_config.json")
     save_config(run_dir, cfg, "config.json")
+    from interactvlm_tpu.utils.profiling import copy_code_snapshot
+
+    copy_code_snapshot(run_dir)
 
     n = len(jax.devices())
     n_model = min(args.n_model_shards, n)

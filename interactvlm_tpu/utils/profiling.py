@@ -105,3 +105,22 @@ class MetricLogger:
         self._f.close()
         if self.tb is not None:
             self.tb.close()
+
+
+def copy_code_snapshot(run_dir: str, repo_root: str = None):
+    """Snapshot the framework sources into the run dir for reproducibility
+    (reference ``copy_code``, utils/utils.py:402-425)."""
+    import shutil
+
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    dst = os.path.join(run_dir, "code_snapshot")
+    src = os.path.join(root, "interactvlm_tpu")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(
+        src, os.path.join(dst, "interactvlm_tpu"),
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+    )
+    return dst

@@ -242,3 +242,15 @@ class TestNewDatasets:
         enc = encode_counts(counts)
         got = rle_decode({"size": [9, 7], "counts": enc})
         assert np.array_equal(got, m)
+
+    def test_fill_polygon_square_and_triangle(self):
+        from interactvlm_tpu.data.datasets import fill_polygon
+
+        sq = fill_polygon([(2, 2), (8, 2), (8, 8), (2, 8)], 10, 10)
+        assert sq.sum() == 36  # 6x6 interior
+        assert sq[5, 5] == 1 and sq[0, 0] == 0
+        tri = fill_polygon([(0, 0), (9, 0), (0, 9)], 10, 10)
+        assert 30 < tri.sum() < 55
+        assert tri[1, 1] == 1 and tri[9, 9] == 0
+        # degenerate
+        assert fill_polygon([(1, 1), (2, 2)], 5, 5).sum() == 0
