@@ -82,6 +82,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     size = os.environ.get("BENCH_SAM", "vit_h" if on_tpu else "vit_b_small")
     V = int(os.environ.get("BENCH_VIEWS", "4"))
+    B = int(os.environ.get("BENCH_BATCH", "2"))  # samples per call
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
@@ -98,8 +99,8 @@ def main():
 
     model = Sam(cfg)
     key = jax.random.PRNGKey(0)
-    pixels = jax.random.normal(key, (V, S, S, 3), dtype=dtype)
-    text = jax.random.normal(key, (1, cfg.prompt_embed_dim), dtype=dtype)
+    pixels = jax.random.normal(key, (B * V, S, S, 3), dtype=dtype)
+    text = jax.random.normal(key, (B, cfg.prompt_embed_dim), dtype=dtype)
     # jit the init: the axon tunnel has high per-dispatch latency, so
     # op-by-op eager init would take forever
     params = jax.jit(model.init)(key, pixels[:1], text[None])
@@ -122,14 +123,21 @@ def main():
     )
 
     def pipeline(params, pixels, text, gidx, gw):
+        # B samples x V views fold into one encoder batch; each sample's
+        # prompt token set goes to each of its V views (the composite
+        # model's decode_view_masks pattern)
         emb = model.apply(params, pixels, method=Sam.encode_image)
-        prompts = jnp.broadcast_to(text[None], (V, V, cfg.prompt_embed_dim))
+        prompts = jnp.repeat(text[:, None, :], V, axis=0).reshape(
+            B * V, 1, cfg.prompt_embed_dim
+        )
         low, _ = model.apply(params, emb, prompts, method=Sam.decode_masks)
         masks = jax.image.resize(
-            low[:, 0].astype(jnp.float32), (V, mask_size, mask_size),
-            method="bilinear",
-        )
-        return lift_multiview_soft_gather(masks, gidx, gw)
+            low[:, 0].astype(jnp.float32),
+            (B * V, mask_size, mask_size), method="bilinear",
+        ).reshape(B, V, mask_size, mask_size)
+        return jax.vmap(
+            lambda m: lift_multiview_soft_gather(m, gidx, gw)
+        )(masks)
 
     # amortize host->device dispatch latency: run `iters` pipeline
     # invocations inside one jit call via fori_loop (data-dependent so
@@ -153,10 +161,10 @@ def main():
     out = fn(params, pixels, text, gidx, gw)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    images_per_sec = 1.0 / dt  # one sample (V views) per inner iteration
+    images_per_sec = B / dt  # B samples (V views each) per inner iteration
 
     print(json.dumps({
-        "metric": f"hcontact_infer_images_per_sec_{size}_{V}view",
+        "metric": f"hcontact_infer_images_per_sec_{size}_{V}view_b{B}",
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_SAMPLES_PER_SEC, 4),

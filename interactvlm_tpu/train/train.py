@@ -220,9 +220,29 @@ def main(argv=None):
         total_steps=total_steps, mask=trainable_mask,
     )
 
+    accum = max(1, args.grad_accumulation_steps)
+    if accum > 1:
+        import jax.numpy as jnp
+
+        def stack_accum(batches_iter):
+            while True:
+                group = [next(batches_iter) for _ in range(accum)]
+                yield jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *group
+                )
+
+        batches = stack_accum(iter(batches))
+        example = next(batches)
+
     with mesh:
-        state, shardings = create_sharded_state(model, tx, example, mesh)
-        step_fn = make_train_step(model, tx, mesh, shardings, example)
+        state, shardings = create_sharded_state(
+            model, tx,
+            jax.tree.map(lambda x: x[0], example) if accum > 1 else example,
+            mesh,
+        )
+        step_fn = make_train_step(
+            model, tx, mesh, shardings, example, accum_steps=accum
+        )
 
         ckpt = CheckpointManager(run_dir)
         if args.resume:

@@ -118,31 +118,62 @@ def make_train_step(
     example_batch,
     loss_key: str = "loss",
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Build the jit-compiled train step. The batch is sharded over
-    ``data`` on its leading axis; pjit inserts the gradient psum."""
+    ``data`` on its leading axis; pjit inserts the gradient psum.
+
+    ``accum_steps`` > 1 runs gradient accumulation over microbatches
+    stacked on a leading axis (batch leaves shaped (accum, micro, ...)),
+    matching the reference's manual inner loop (train.py:518-560) as one
+    compiled lax.scan.
+    """
 
     batch_sharding = batch_shardings(example_batch, mesh)
 
-    def step_fn(state: TrainState, batch):
+    def grads_of(params, batch):
         def loss_fn(params):
             out = model.apply(params, batch)
             return out[loss_key], out
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        metrics = {k: v for k, v in out.items() if jnp.ndim(v) == 0}
+        return grads, metrics
+
+    def step_fn(state: TrainState, batch):
+        if accum_steps == 1:
+            grads, metrics = grads_of(state.params, batch)
+        else:
+            def micro(carry, mb):
+                g_acc, m_acc = carry
+                g, m = grads_of(state.params, mb)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                m_acc = jax.tree.map(jnp.add, m_acc, m)
+                return (g_acc, m_acc), None
+
+            first = jax.tree.map(lambda x: x[0], batch)
+            g0, m0 = grads_of(state.params, first)
+            rest = jax.tree.map(lambda x: x[1:], batch)
+            (g_sum, m_sum), _ = jax.lax.scan(micro, (g0, m0), rest)
+            grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+            metrics = jax.tree.map(lambda m: m / accum_steps, m_sum)
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {
-            k: v for k, v in out.items() if jnp.ndim(v) == 0
-        }
         metrics["grad_norm"] = optax.global_norm(grads)
         return (
             TrainState(
                 step=state.step + 1, params=new_params, opt_state=new_opt
             ),
             metrics,
+        )
+
+    if accum_steps > 1:
+        batch_sharding = jax.tree.map(
+            lambda s: NamedSharding(
+                mesh, P(None, *s.spec)
+            ),
+            batch_sharding,
         )
 
     return jax.jit(

@@ -154,3 +154,35 @@ def test_tp_sharded_decode():
     # confirm something is actually sharded over the model axis
     specs = [str(s.spec) for s in jax.tree.leaves(nn.meta.unbox(shardings))]
     assert any("model" in s for s in specs)
+
+
+@pytest.mark.slow
+def test_grad_accumulation_matches_big_batch():
+    """accum_steps=2 over two microbatches must match one step on the
+    concatenated batch (up to loss-normalization differences, the grads
+    are averaged -- check the resulting params closely)."""
+    import jax.numpy as jnp
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    cfg = interactvlm_tiny(llama=llama_tiny(lora_rank=4))
+    model = InteractVLM(cfg)
+    b1 = make_batch(cfg, B=4)
+    tx, _ = make_optimizer(lr=1e-3, warmup_steps=0, total_steps=50,
+                           mask=trainable_mask)
+    with mesh:
+        state, shardings = create_sharded_state(model, tx, b1, mesh)
+        step1 = make_train_step(model, tx, mesh, shardings, b1,
+                                donate=False)
+        accum_batch = jax.tree.map(
+            lambda x: jnp.stack([x, x]), b1
+        )
+        step2 = make_train_step(model, tx, mesh, shardings, accum_batch,
+                                donate=False, accum_steps=2)
+        s1, m1 = step1(state, b1)
+        s2, m2 = step2(state, accum_batch)
+    # identical microbatches -> averaged grads == single-batch grads
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params
+    )
+    assert max(jax.tree.leaves(d)) < 1e-4
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
