@@ -177,8 +177,12 @@ class LlamaAttention(nn.Module):
         else:
             bias = None
             causal = True
+            kv_lengths = None
             if attn_mask is not None:
-                # attn_mask: (B, L) 1=valid. Build additive bias.
+                # attn_mask: (B, L) 1=valid, right-padded by the collate
+                # layer, so it reduces to per-row prefix lengths -- which
+                # the Pallas flash kernel consumes directly on TPU.
+                kv_lengths = attn_mask.sum(axis=-1).astype(jnp.int32)
                 bias = jnp.where(
                     attn_mask[:, None, None, :] > 0, 0.0, jnp.float32(-1e9)
                 )
@@ -191,7 +195,20 @@ class LlamaAttention(nn.Module):
         qh = q.transpose(0, 2, 1, 3)
         kh = k.transpose(0, 2, 1, 3)
         vh = v.transpose(0, 2, 1, 3)
-        out = dot_product_attention(qh, kh, vh, bias=bias, causal=causal)
+        import jax as _jax
+
+        if (
+            cache is None
+            and _jax.default_backend() == "tpu"
+            and L >= 256
+        ):
+            from interactvlm_tpu.ops.flash_attention import flash_attention
+
+            out = flash_attention(
+                qh, kh, vh, True, None, False, kv_lengths=kv_lengths
+            )
+        else:
+            out = dot_product_attention(qh, kh, vh, bias=bias, causal=causal)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, nh * d)
         out = _dense(cfg.hidden_size, ("heads", "embed"), "o_proj", cfg.dtype)(
             out

@@ -41,10 +41,14 @@ def _pad_to(x, size, axis):
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, *, lq, lk, scale, causal, offset
+    len_ref, q_ref, k_ref, v_ref, o_ref, *, lq, lk, scale, causal, offset,
+    heads,
 ):
-    """One (bh, q-block) program. q_ref: (1, BQ, D); k/v_ref: (1, Lkp, D)."""
+    """One (bh, q-block) program. q_ref: (1, BQ, D); k/v_ref: (1, Lkp, D);
+    len_ref: (B,) scalar-prefetched per-row valid KV lengths."""
     qi = pl.program_id(1)
+    bh = pl.program_id(0)
+    kv_len = jnp.minimum(len_ref[bh // heads], lk)
     q = q_ref[0]  # keep input dtype for full-rate MXU
     Lkp = k_ref.shape[1]
     D = q_ref.shape[2]
@@ -61,7 +65,7 @@ def _flash_kernel(
         k_idx = kb * BLOCK_K + jax.lax.broadcasted_iota(
             jnp.int32, (BLOCK_Q, BLOCK_K), 1
         )
-        valid = k_idx < lk
+        valid = k_idx < kv_len
         if causal:
             q_idx = qi * BLOCK_Q + jax.lax.broadcasted_iota(
                 jnp.int32, (BLOCK_Q, BLOCK_K), 0
@@ -88,11 +92,15 @@ def _flash_kernel(
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, causal, scale, interpret):
+def _flash_forward(q, k, v, causal, scale, interpret, kv_lengths=None):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     scale = (D ** -0.5) if scale is None else scale
     offset = Lk - Lq  # causal alignment when Lq != Lk (decode chunks)
+    if kv_lengths is None:
+        kv_lengths = jnp.full((B,), Lk, jnp.int32)
+    else:
+        kv_lengths = kv_lengths.astype(jnp.int32)
 
     Dp = max(128, ((D + 127) // 128) * 128)
     Lqp = ((Lq + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
@@ -102,25 +110,28 @@ def _flash_forward(q, k, v, causal, scale, interpret):
     kp = _pad_to(_pad_to(k, Dp, 3), Lkp, 2).reshape(B * H, Lkp, Dp)
     vp = _pad_to(_pad_to(v, Dp, 3), Lkp, 2).reshape(B * H, Lkp, Dp)
 
-    grid = (B * H, Lqp // BLOCK_Q)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, lq=Lq, lk=Lk, scale=scale, causal=causal,
-            offset=offset,
-        ),
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, Lqp // BLOCK_Q),
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, Dp), lambda bh, qi: (bh, qi, 0),
+            pl.BlockSpec((1, BLOCK_Q, Dp), lambda bh, qi, *_: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lkp, Dp), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, Lkp, Dp), lambda bh, qi, *_: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lkp, Dp), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, Lkp, Dp), lambda bh, qi, *_: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, BLOCK_Q, Dp), lambda bh, qi: (bh, qi, 0),
+            (1, BLOCK_Q, Dp), lambda bh, qi, *_: (bh, qi, 0),
             memory_space=pltpu.VMEM,
         ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, lq=Lq, lk=Lk, scale=scale, causal=causal,
+            offset=offset, heads=H,
+        ),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * H, Lqp, Dp), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -128,7 +139,7 @@ def _flash_forward(q, k, v, causal, scale, interpret):
             bytes_accessed=2 * B * H * (Lq + 2 * Lk) * D,
             transcendentals=B * H * Lq * Lk,
         ),
-    )(qp, kp, vp)
+    )(kv_lengths, qp, kp, vp)
     return out.reshape(B, H, Lqp, Dp)[:, :, :Lq, :D]
 
 
@@ -138,29 +149,55 @@ def _xla_reference(q, k, v, causal, scale):
     return _xla_attention(q, k, v, causal=causal, scale=scale)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
-)
-def flash_attention(
-    q, k, v, causal: bool = False, scale=None, interpret: bool = False
-):
-    """Blockwise flash attention over (B, H, L, D). Numerically matches the
-    XLA reference softmax attention."""
-    return _flash_forward(q, k, v, causal, scale, interpret)
+def _xla_reference_masked(q, k, v, causal, scale, kv_lengths):
+    from interactvlm_tpu.ops.attention import _xla_attention
+
+    bias = None
+    if kv_lengths is not None:
+        Lk = k.shape[2]
+        kpos = jnp.arange(Lk)[None, :]
+        bias = jnp.where(
+            kpos < kv_lengths[:, None], 0.0, jnp.float32(-1e9)
+        )[:, None, None, :]
+    return _xla_attention(q, k, v, bias=bias, causal=causal, scale=scale)
 
 
-def _fwd(q, k, v, causal, scale, interpret):
-    return _flash_forward(q, k, v, causal, scale, interpret), (q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_with_lengths(q, k, v, causal, scale, interpret, kv_lengths):
+    return _flash_forward(q, k, v, causal, scale, interpret, kv_lengths)
+
+
+def _fwd(q, k, v, causal, scale, interpret, kv_lengths):
+    return (
+        _flash_forward(q, k, v, causal, scale, interpret, kv_lengths),
+        (q, k, v, kv_lengths),
+    )
 
 
 def _bwd(causal, scale, interpret, res, g):
-    q, k, v = res
+    q, k, v, kv_lengths = res
     _, vjp = jax.vjp(
-        lambda q, k, v: _xla_reference(q, k, v, causal, scale), q, k, v
+        lambda q, k, v: _xla_reference_masked(
+            q, k, v, causal, scale, kv_lengths
+        ),
+        q, k, v,
     )
-    return vjp(g)
+    return vjp(g) + (None,)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_with_lengths.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q, k, v, causal: bool = False, scale=None, interpret: bool = False,
+    kv_lengths=None,
+):
+    """Blockwise flash attention over (B, H, L, D). Numerically matches the
+    XLA reference softmax attention; ``kv_lengths`` (B,) masks right-padded
+    keys (the collate layer right-pads, so padding masks reduce to a
+    prefix length)."""
+    return _flash_with_lengths(
+        q, k, v, causal, scale, interpret, kv_lengths
+    )
 
 _kernel_block_sizes = (BLOCK_Q, BLOCK_K)

@@ -53,3 +53,44 @@ def test_flash_gradients():
     g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_flash_kv_lengths_mask():
+    """Per-row KV length masking (right padding) vs the XLA bias path."""
+    B, H, L, D = 3, 2, 128, 64
+    q, k, v = (rand((B, H, L, D), i) for i in range(3))
+    lengths = jnp.asarray([128, 100, 7], jnp.int32)
+
+    kpos = jnp.arange(L)[None, :]
+    bias = jnp.where(kpos < lengths[:, None], 0.0, -1e9)[:, None, None, :]
+    want = _xla_attention(q, k, v, bias=bias, causal=True)
+    got = flash_attention(q, k, v, True, None, True, kv_lengths=lengths)
+    # padded-query rows attend to nothing meaningful; compare valid rows
+    for b in range(B):
+        n = int(lengths[b])
+        assert np.allclose(
+            np.asarray(got)[b, :, :n], np.asarray(want)[b, :, :n], atol=2e-3
+        ), b
+
+
+def test_flash_kv_lengths_gradient():
+    B, H, L, D = 1, 2, 128, 64
+    q, k, v = (rand((B, H, L, D), i) for i in range(3))
+    lengths = jnp.asarray([90], jnp.int32)
+
+    def f(q, k, v):
+        out = flash_attention(q, k, v, True, None, True, kv_lengths=lengths)
+        return (out[:, :, :90] ** 2).sum()
+
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    kpos = jnp.arange(L)[None, :]
+    bias = jnp.where(kpos < lengths[:, None], 0.0, -1e9)[:, None, None, :]
+
+    def fr(q, k, v):
+        out = _xla_attention(q, k, v, bias=bias, causal=True)
+        return (out[:, :, :90] ** 2).sum()
+
+    gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=3e-3)
