@@ -186,3 +186,42 @@ def test_grad_accumulation_matches_big_batch():
     )
     assert max(jax.tree.leaves(d)) < 1e-4
     assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+
+
+def test_collectives_on_mesh():
+    import jax.numpy as jnp
+
+    from interactvlm_tpu.parallel.collectives import (
+        all_gather_batch,
+        all_reduce_mean,
+        all_reduce_sum,
+        ppermute_ring,
+        psum_scatter,
+        host_gather,
+    )
+
+    mesh = create_mesh(n_data=8, n_model=1)
+    x = jnp.arange(16.0).reshape(8, 2)  # one row per data shard
+    xn = np.asarray(x)
+
+    # psum over data: every shard's row is replaced by the total
+    s = np.asarray(all_reduce_sum(x, mesh))
+    assert s.shape == (1, 2)  # out spec replicated -> single block
+    assert np.allclose(s[0], xn.sum(0))
+
+    m = np.asarray(all_reduce_mean(x, mesh))
+    assert np.allclose(m[0], xn.mean(0))
+
+    g = np.asarray(all_gather_batch(x, mesh))
+    assert np.allclose(g, xn)  # tiled gather reassembles the full batch
+
+    # reduce-scatter of a replicated partial: every device holds xn,
+    # each rank ends up owning its slice summed over the 8 replicas
+    rs = np.asarray(psum_scatter(x, mesh))
+    assert rs.shape == (8, 2)
+    assert np.allclose(rs, xn * 8)
+
+    r = np.asarray(ppermute_ring(x, mesh, shift=1))
+    assert np.allclose(r[1], xn[0]) and np.allclose(r[0], xn[7])
+
+    assert host_gather(np.ones(3))[0].shape == (3,)
