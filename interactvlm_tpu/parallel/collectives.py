@@ -34,7 +34,7 @@ except ImportError:  # pragma: no cover
 def _smap(fn, mesh: Mesh, in_spec, out_spec):
     return shard_map(
         fn, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
 
 
