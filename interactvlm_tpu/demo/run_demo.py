@@ -185,7 +185,6 @@ def main(argv=None):
             object_maps = demo_utils.load_lift2d_dict(
                 join(obj_dir, "lift2d_dict.pkl")
             )
-            vs = HUMAN_VIEWS[cfg.hC_sam_view_type]
             views = []
             from interactvlm_tpu.geometry.views import OBJECT_VIEWS
             ovs = OBJECT_VIEWS["4MV-Z_HM_MeshInf"]
