@@ -30,13 +30,27 @@ from interactvlm_tpu.utils.constants import IGNORE_INDEX
 from interactvlm_tpu.utils.meters import AverageMeter, Summary
 
 
-def truncate_at_answer(input_ids: np.ndarray, labels: np.ndarray):
-    """Cut the prompt right before the first supervised token
-    (reference evaluate.py:88-92); returns the truncated ids."""
-    pos = np.nonzero(labels[0] != IGNORE_INDEX)[0]
-    if pos.size > 0:
-        return input_ids[:, : int(pos[0])]
-    return input_ids
+def truncate_at_answer(
+    input_ids: np.ndarray, labels: np.ndarray, pad_id: int = 0
+):
+    """Cut each row's prompt right before its first supervised token
+    (reference evaluate.py:88-92, generalized per-row so ragged batches
+    are correct at B > 1).
+
+    Returns (ids (B, W), attn_mask (B, W)) right-padded to the widest row.
+    """
+    B, L = input_ids.shape
+    starts = []
+    for b in range(B):
+        pos = np.nonzero(labels[b] != IGNORE_INDEX)[0]
+        starts.append(int(pos[0]) if pos.size > 0 else L)
+    width = max(starts)
+    out = np.full((B, width), pad_id, dtype=input_ids.dtype)
+    mask = np.zeros((B, width), dtype=np.int32)
+    for b, s in enumerate(starts):
+        out[b, :s] = input_ids[b, :s]
+        mask[b, :s] = 1
+    return out, mask
 
 
 def evaluate_batch(
@@ -50,12 +64,13 @@ def evaluate_batch(
     human_maps: Optional[Dict] = None,
     object_maps: Optional[Dict] = None,
     eos_id: int = 2,
+    kv_cache: str = "dense",
 ):
     """Generate-mode inference for one batch. Returns dict with
     generated_ids, pred_masks (B, V, H, W), pred_contact_3d (B, N)."""
     from interactvlm_tpu.models.llava import LlavaModel
 
-    input_ids = truncate_at_answer(
+    input_ids, attn_mask = truncate_at_answer(
         np.asarray(batch["input_ids"]), np.asarray(batch["labels"])
     )
     llava = LlavaModel(cfg.llama, cfg.clip)
@@ -63,6 +78,7 @@ def evaluate_batch(
         llava, {"params": params["params"]["llava"]},
         jnp.asarray(input_ids), batch["images_clip"],
         max_new_tokens=max_new_tokens, eos_id=eos_id,
+        attn_mask=jnp.asarray(attn_mask), kv_cache=kv_cache,
     )
     gen_ids = np.asarray(gen["generated_ids"])
 
@@ -133,6 +149,7 @@ def validate(
     object_maps: Optional[Dict] = None,
     dist_matrix: Optional[np.ndarray] = None,
     max_batches: Optional[int] = None,
+    kv_cache: str = "dense",
 ):
     """Run the eval loop; returns (metrics dict, saved_results for DAMON
     reports)."""
@@ -163,6 +180,7 @@ def validate(
                 model, params, batch, cfg, mask_size,
                 contact_type=ds_name,
                 human_maps=human_maps, object_maps=object_maps,
+                kv_cache=kv_cache,
             )
             pred_masks = out["pred_masks"]
             pred_3d = out["pred_contact_3d"]
@@ -337,6 +355,12 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--kv_cache", default="dense", choices=["dense", "int8"],
+                   help="KV-cache precision for the decode loop")
+    p.add_argument("--quantize_weights", action="store_true",
+                   help="int8-quantize large LLaMA kernels for serving "
+                        "(the reference's bitsandbytes role, "
+                        "run_demo.py:106-129)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -372,6 +396,22 @@ def main(argv=None):
     state = ckpt.restore_best(abstract_state) or ckpt.restore(abstract_state)
     assert state is not None, f"no checkpoint in {args.run_dir}"
     params = state.params
+    if args.quantize_weights:
+        # quantize-then-dequantize keeps one model code path while halving
+        # checkpoint-to-HBM transfer and matching bnb int8 numerics; the
+        # int8_matmul fast path is exercised by ops/quant tests.
+        from interactvlm_tpu.ops.quant import (
+            dequantize_params,
+            quantize_params_int8,
+        )
+
+        def _llama_kernels(path: str) -> bool:
+            return "llava/lm" in path
+
+        params = dequantize_params(
+            quantize_params_int8(params, filter_fn=_llama_kernels),
+            dtype=cfg.llama.dtype,
+        )
 
     if args.synthetic:
         def batches():
@@ -427,6 +467,7 @@ def main(argv=None):
         batches(), model, params, cfg, args.val_dataset, mask_size,
         inference_type=args.inference_type,
         human_maps=human_maps, max_batches=args.max_batches,
+        kv_cache=args.kv_cache,
     )
     report = {"metrics": results}
     if "hcontact" in args.val_dataset and saved["pred"]:

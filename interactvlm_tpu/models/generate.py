@@ -20,7 +20,7 @@ from interactvlm_tpu.models.llava import LlavaModel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "max_new_tokens", "eos_id")
+    jax.jit, static_argnames=("model", "max_new_tokens", "eos_id", "kv_cache")
 )
 def greedy_generate(
     model: LlavaModel,
@@ -30,32 +30,38 @@ def greedy_generate(
     max_new_tokens: int = 32,
     eos_id: int = 2,
     attn_mask: Optional[jnp.ndarray] = None,
+    kv_cache: str = "dense",
 ):
     """Greedy decode.
 
     Args:
-      input_ids: (B, L) prompt with one IMAGE_TOKEN_INDEX per row.
+      input_ids: (B, L) prompt with one IMAGE_TOKEN_INDEX per row; ragged
+        batches are right-padded with ``attn_mask`` marking valid tokens.
       pixels: (B, S, S, 3) CLIP-normalized image.
+      kv_cache: "dense" or "int8" (quantized KV, ops/quant.py).
     Returns dict with:
       generated_ids: (B, T) emitted tokens (padded with eos after stop),
       step_hidden: (B, T, H) hidden state that predicted each token,
-      prompt_hidden: (B, Lp, H), prompt_spliced_ids: (B, Lp).
+      prompt_hidden: (B, Lp, H), prompt_spliced_ids: (B, Lp),
+      prompt_len: (B,) valid spliced prompt lengths.
     """
     B, L = input_ids.shape
     P = model.clip_config.num_patches
     Lp = L - 1 + P
     max_len = Lp + max_new_tokens
 
-    last_logits, prompt_hidden, caches, spliced_ids = model.apply(
+    (last_logits, prompt_hidden, caches, spliced_ids, prompt_len,
+     first_hidden) = model.apply(
         params, input_ids, pixels, max_len,
-        attn_mask=attn_mask, method=LlavaModel.prefill,
+        attn_mask=attn_mask, kv_cache=kv_cache, method=LlavaModel.prefill,
     )
 
     first_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-    # hidden that predicted the first token = last prompt position
-    first_hidden = prompt_hidden[:, -1]
     done0 = first_tok == eos_id
-    pos0 = jnp.full((B,), Lp, jnp.int32)
+    # logical rope position of the next token is each row's valid length
+    # (pad slots sit between prompt_len and Lp; physical cache writes go at
+    # the scalar cursor Lp + step, masked valid).
+    pos0 = prompt_len.astype(jnp.int32)
 
     def step(carry, _):
         tok, pos, caches, done = carry
@@ -90,4 +96,5 @@ def greedy_generate(
         "step_hidden": step_hidden,
         "prompt_hidden": prompt_hidden,
         "prompt_spliced_ids": spliced_ids,
+        "prompt_len": prompt_len,
     }

@@ -165,14 +165,28 @@ class LlamaAttention(nn.Module):
                     cache["v"], v.astype(cache["v"].dtype), (0, idx, 0, 0)
                 )
                 new_cache = {"k": k_all, "v": v_all, "index": idx + L}
+            # Per-row key-validity row: prefill writes the (right-padded)
+            # prompt mask; decode steps write 1. This is what makes batched
+            # generation over ragged prompts correct (HF parity: reference
+            # evaluate.py feeds attention_mask through generate).
+            seg_valid = (
+                attn_mask.astype(jnp.int8)
+                if attn_mask is not None
+                else jnp.ones((B, L), jnp.int8)
+            )
+            new_cache["valid"] = jax.lax.dynamic_update_slice(
+                cache["valid"], seg_valid, (0, idx)
+            )
             k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
-            # mask: key positions beyond idx + L are invalid; causal within.
+            # mask: key positions beyond idx + L are invalid; causal within;
+            # padded key slots (valid == 0) never attended.
             Lk = k.shape[1]
             kpos = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 1)
-            visible = kpos <= (idx + jax.lax.broadcasted_iota(
+            causal_vis = kpos <= (idx + jax.lax.broadcasted_iota(
                 jnp.int32, (L, Lk), 0
             ))
-            bias = jnp.where(visible, 0.0, jnp.float32(-1e9))[None, None]
+            visible = causal_vis[None] & (new_cache["valid"][:, None, :] > 0)
+            bias = jnp.where(visible, 0.0, jnp.float32(-1e9))[:, None]
             causal = False
         else:
             bias = None
@@ -335,6 +349,7 @@ def init_kv_cache(
         {
             "k": jnp.zeros(shape, dtype),
             "v": jnp.zeros(shape, dtype),
+            "valid": jnp.zeros((batch, max_len), jnp.int8),
             "index": jnp.int32(0),
         }
         for _ in range(config.num_layers)

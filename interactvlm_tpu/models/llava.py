@@ -178,21 +178,48 @@ class LlavaModel(nn.Module):
         )
 
     # --- decode path -----------------------------------------------------
-    def prefill(self, input_ids, pixels, max_len: int, attn_mask=None):
+    def prefill(self, input_ids, pixels, max_len: int, attn_mask=None,
+                kv_cache: str = "dense"):
         """Process the (spliced) prompt, filling a KV cache of ``max_len``.
 
-        Returns (last_logits (B, V), hidden (B, Lp, H), caches, prompt_len).
+        Handles ragged right-padded batches: ``attn_mask`` (1 = valid) is
+        spliced alongside the ids, threaded into the cache's key-validity
+        rows, and the "last" logits/hidden are gathered at each row's last
+        VALID position (HF-generate parity; the reference relies on
+        transformers' attention_mask plumbing).
+
+        kv_cache: "dense" (bf16/f32) or "int8" (quantized, ops/quant.py) --
+        the reference's bitsandbytes int8 role (run_demo.py:106-129).
+
+        Returns (last_logits (B, V), hidden (B, Lp, H), caches, spliced_ids,
+        prompt_len (B,), last_hidden (B, H)).
         """
         embeds, spliced_ids, _, spliced_mask = self.splice(
             input_ids, pixels, None, attn_mask
         )
         B, Lp, _ = embeds.shape
-        caches = init_kv_cache(self.llama_config, B, max_len)
+        if kv_cache == "int8":
+            from interactvlm_tpu.ops.quant import init_kv_cache_int8
+
+            caches = init_kv_cache_int8(self.llama_config, B, max_len)
+        else:
+            caches = init_kv_cache(self.llama_config, B, max_len)
         positions = jnp.broadcast_to(jnp.arange(Lp)[None], (B, Lp))
         logits, hidden, caches = self.lm.forward_embeds(
-            embeds, positions=positions, caches=caches
+            embeds, positions=positions, attn_mask=spliced_mask,
+            caches=caches,
         )
-        return logits[:, -1], hidden, caches, spliced_ids
+        # right-padded rows: valid tokens form a prefix of the spliced seq
+        prompt_len = spliced_mask.astype(jnp.int32).sum(axis=-1)
+        last = jnp.maximum(prompt_len - 1, 0)
+        last_logits = jnp.take_along_axis(
+            logits, last[:, None, None], axis=1
+        )[:, 0]
+        last_hidden = jnp.take_along_axis(
+            hidden, last[:, None, None], axis=1
+        )[:, 0]
+        return (last_logits, hidden, caches, spliced_ids, prompt_len,
+                last_hidden)
 
     def decode_step(self, token_ids, position, caches):
         """One greedy-decode step. token_ids: (B,), position: (B,) absolute.

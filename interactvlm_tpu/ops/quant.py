@@ -97,6 +97,7 @@ def init_kv_cache_int8(config, batch: int, max_len: int):
             "v": jnp.zeros(shape, jnp.int8),
             "k_scale": jnp.zeros(sshape, jnp.float32),
             "v_scale": jnp.zeros(sshape, jnp.float32),
+            "valid": jnp.zeros((batch, max_len), jnp.int8),
             "index": jnp.int32(0),
         }
         for _ in range(config.num_layers)
@@ -116,6 +117,7 @@ def update_kv_cache_int8(cache: Dict, k_new, v_new):
         "v": jax.lax.dynamic_update_slice(cache["v"], vq, at),
         "k_scale": jax.lax.dynamic_update_slice(cache["k_scale"], ks, at),
         "v_scale": jax.lax.dynamic_update_slice(cache["v_scale"], vs, at),
+        "valid": cache["valid"],  # caller updates (models/llama.py)
         "index": idx + L,
     }
     k_deq = dequantize_int8(new["k"], new["k_scale"])

@@ -31,11 +31,26 @@ def test_truncate_at_answer():
     ids = np.arange(10)[None]
     labels = np.full((1, 10), IGNORE_INDEX)
     labels[0, 6:] = 1
-    out = truncate_at_answer(ids, labels)
+    out, mask = truncate_at_answer(ids, labels)
     assert out.shape == (1, 6)
+    assert mask.sum() == 6
     # no supervised tokens -> unchanged
-    out = truncate_at_answer(ids, np.full((1, 10), IGNORE_INDEX))
+    out, mask = truncate_at_answer(ids, np.full((1, 10), IGNORE_INDEX))
     assert out.shape == (1, 10)
+    assert mask.all()
+
+
+def test_truncate_at_answer_ragged_rows():
+    """Each row is cut at ITS OWN answer start (not row 0's)."""
+    ids = np.tile(np.arange(10)[None], (2, 1))
+    labels = np.full((2, 10), IGNORE_INDEX)
+    labels[0, 6:] = 1  # row 0 answer starts at 6
+    labels[1, 3:] = 1  # row 1 answer starts at 3
+    out, mask = truncate_at_answer(ids, labels, pad_id=0)
+    assert out.shape == (2, 6)
+    assert list(mask.sum(axis=1)) == [6, 3]
+    assert (out[1, 3:] == 0).all()  # padded tail
+    assert (out[1, :3] == ids[1, :3]).all()
 
 
 def test_evaluate_batch_shapes(tiny):

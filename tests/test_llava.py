@@ -162,6 +162,71 @@ class TestGenerate:
         assert out["prompt_hidden"].shape == (2, Lp, lcfg.hidden_size)
         assert np.isfinite(np.asarray(out["step_hidden"])).all()
 
+    def test_ragged_batch_matches_per_sample(self, tiny_llava):
+        """Batched generate over ragged right-padded prompts must emit the
+        same tokens as generating each sample alone (the padded-row
+        correctness invariant: pad tokens must never be attended and the
+        first-token gather must use each row's last VALID position)."""
+        lcfg, ccfg, model, params = tiny_llava
+        key = jax.random.PRNGKey(3)
+        pixels = jax.random.normal(
+            key, (2, ccfg.image_size, ccfg.image_size, 3)
+        )
+        short = make_prompt(1, 5, img_at=1)
+        long = make_prompt(1, 9, img_at=1)
+
+        # per-sample references
+        ref_short = greedy_generate(
+            model, params, short, pixels[:1], max_new_tokens=5, eos_id=2
+        )
+        ref_long = greedy_generate(
+            model, params, long, pixels[1:], max_new_tokens=5, eos_id=2
+        )
+
+        # batched: right-pad the short row
+        ids = np.zeros((2, 9), np.int32)
+        ids[0, :5] = np.asarray(short[0])
+        ids[1] = np.asarray(long[0])
+        mask = np.zeros((2, 9), np.int32)
+        mask[0, :5] = 1
+        mask[1] = 1
+        out = greedy_generate(
+            model, params, jnp.asarray(ids), pixels,
+            max_new_tokens=5, eos_id=2, attn_mask=jnp.asarray(mask),
+        )
+        got = np.asarray(out["generated_ids"])
+        assert (got[0] == np.asarray(ref_short["generated_ids"])[0]).all()
+        assert (got[1] == np.asarray(ref_long["generated_ids"])[0]).all()
+        # hidden capture matches too (seg-token gather correctness)
+        np.testing.assert_allclose(
+            np.asarray(out["step_hidden"][1]),
+            np.asarray(ref_long["step_hidden"][0]),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["step_hidden"][0]),
+            np.asarray(ref_short["step_hidden"][0]),
+            atol=2e-4,
+        )
+
+    def test_int8_kv_cache_token_parity(self, tiny_llava):
+        """int8 KV-cache greedy decode emits the same tokens as dense on
+        the tiny config (north-star int8 decode, VERDICT r1 item 3)."""
+        lcfg, ccfg, model, params = tiny_llava
+        ids = make_prompt(2, 8)
+        pixels = jnp.zeros((2, ccfg.image_size, ccfg.image_size, 3))
+        dense = greedy_generate(
+            model, params, ids, pixels, max_new_tokens=6, eos_id=2
+        )
+        int8 = greedy_generate(
+            model, params, ids, pixels, max_new_tokens=6, eos_id=2,
+            kv_cache="int8",
+        )
+        assert (
+            np.asarray(dense["generated_ids"])
+            == np.asarray(int8["generated_ids"])
+        ).all()
+
     def test_generate_matches_teacher_forcing(self, tiny_llava):
         """Feed the generated tokens back through the full forward: the
         argmax at each position must reproduce the generated sequence."""
