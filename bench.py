@@ -1,21 +1,33 @@
-"""Benchmark: end-to-end multi-view 3D-contact inference throughput.
+"""Benchmark: END-TO-END generate-path inference throughput.
 
-Measures the vision-dominant path of ``model.evaluate`` (reference
-InteractVLM.py:510-637): SAM ViT-H encoding of V=4 canonical view renders at
-1024x1024, text-prompted two-way mask decode, mask upsampling, and the
-2D->3D barycentric lift onto 6890 SMPL vertices. This is the FLOPs-dominant
-portion of the reference's generate-path inference (the LLaMA-13B prefill+
-32-token decode is the remainder and lands in a later round once TP/int8
-decode is wired into the bench).
+Measures the full ``model.evaluate`` pipeline of the reference
+(InteractVLM.py:510-637) on one TPU chip:
+
+  CLIP-ViT-L encode -> image-token spliced LLaMA prefill -> 32-token greedy
+  decode with KV cache (hidden-state capture) -> seg-token gather ->
+  text_hidden_fcs projection + cam-pose conditioning -> SAM ViT-H encode of
+  V=4 canonical 1024x1024 view renders -> text-prompted two-way mask decode
+  -> mask upsample -> 2D->3D barycentric lift onto SMPL-scale vertices.
+
+Default serving config on TPU: LLaMA-7B with int8 weights (the reference
+demo's bitsandbytes 8-bit mode, run_demo.py:106-129 -- 13B bf16 does not fit
+one 16GB v5e chip; multi-chip TP runs the 13B flagship, see
+``__graft_entry__.dryrun_multichip``). Every leg runs inside ONE jit with a
+``lax.fori_loop`` over iterations (axon tunnel dispatch ~0.5s must be
+amortized) and timing synchronizes by FETCHING a value (the tunnel's
+block_until_ready does not block).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N,
+   "mfu": N, ...}
 
-``vs_baseline`` divides by an ESTIMATED reference A100 throughput for the
-same sub-path (PyTorch SAM ViT-H ~90ms/view serial + decode+lift overhead
-=> ~2.5 samples/s); BASELINE.md records that the reference publishes no
-throughput, so this denominator is provisional and is refined when the
-reference is profiled.
+``vs_baseline`` divides by an ESTIMATED A100 throughput for the reference
+pipeline at the same model scale (7B), derived from public per-component
+numbers since the reference publishes no throughput (BASELINE.md):
+  SAM ViT-H 1024px ~90ms/view x4 serial (get_visual_embs loops views)
+  + HF 7B bf16 generate: 32 tokens x ~12ms + prefill ~35ms
+  + CLIP-L + mask decode + lift overhead ~0.1s
+  => ~0.87 s/image => ~1.15 images/sec.
 """
 
 from __future__ import annotations
@@ -35,11 +47,18 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# The container's sitecustomize pins the axon TPU platform regardless of the
+# JAX_PLATFORMS env var; honor an explicit CPU request in-process (must run
+# before first backend use).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
-# provisional A100 denominator, see module docstring
-BASELINE_SAMPLES_PER_SEC = 2.5
+# provisional A100 denominator for the end-to-end 7B pipeline (docstring)
+BASELINE_E2E_IMAGES_PER_SEC = 1.15
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def _sphere(n_lat=60, n_lon=80, radius=0.8):
@@ -69,105 +88,237 @@ def _sphere(n_lat=60, n_lon=80, radius=0.8):
     return (np.asarray(verts, np.float32), np.asarray(faces, np.int32))
 
 
+def _llama_matmul_params(cfg):
+    """Matmul-visible parameter count (excl. embedding gather)."""
+    attn = cfg.hidden_size * cfg.head_dim * (
+        2 * cfg.num_heads + 2 * cfg.num_kv_heads
+    )
+    mlp = 3 * cfg.hidden_size * cfg.intermediate_size
+    head = cfg.hidden_size * cfg.vocab_size
+    return cfg.num_layers * (attn + mlp) + head
+
+
+def _flops_per_image(cfg, V, Lp, T, mask_size):
+    """Analytic useful-FLOPs per image for MFU reporting."""
+    lc, cc, sc = cfg.llama, cfg.clip, cfg.sam
+    p_l = _llama_matmul_params(lc)
+    f_prefill = 2 * p_l * Lp
+    f_decode = 2 * p_l * T
+    # CLIP tower
+    p_c = cc.num_layers * (4 * cc.hidden_size ** 2
+                           + 2 * cc.hidden_size * cc.intermediate_size)
+    f_clip = 2 * p_c * (cc.num_patches + 1)
+    # SAM encoder: proj params x tokens + global-attention logits
+    e, depth = sc.encoder_embed_dim, sc.encoder_depth
+    tokens = sc.image_embedding_size ** 2
+    p_s = depth * (4 * e * e + 2 * e * int(e * sc.mlp_ratio))
+    n_global = len(sc.encoder_global_attn_indexes)
+    f_attn_global = n_global * 4 * tokens * tokens * e
+    win = sc.window_size ** 2
+    f_attn_win = (depth - n_global) * 4 * tokens * win * e
+    f_sam = V * (2 * p_s * tokens + f_attn_global + f_attn_win)
+    # mask decoder + upsample + lift are <1% -- folded into a 2% pad
+    return 1.02 * (f_prefill + f_decode + f_clip + f_sam)
+
+
 def main():
-    from interactvlm_tpu.config import sam_vit_b, sam_vit_h
+    import functools
+
+    from interactvlm_tpu.config import (
+        InteractVLMConfig,
+        clip_tiny,
+        clip_vit_l_14,
+        llama_13b,
+        llama_7b,
+        llama_tiny,
+        sam_tiny,
+        sam_vit_b,
+        sam_vit_h,
+    )
     from interactvlm_tpu.geometry.lift import (
         build_gather_maps,
         lift_multiview_soft_gather,
     )
     from interactvlm_tpu.geometry.rasterizer import build_lift_maps, pick_window
     from interactvlm_tpu.geometry.views import HUMAN_VIEWS
-    from interactvlm_tpu.models.sam import Sam
+    from interactvlm_tpu.models.generate import greedy_generate
+    from interactvlm_tpu.models.interactvlm import InteractVLM
+    from interactvlm_tpu.models.llava import IMAGE_TOKEN_INDEX, LlavaModel
 
     on_tpu = jax.default_backend() == "tpu"
-    size = os.environ.get("BENCH_SAM", "vit_h" if on_tpu else "vit_b_small")
+    llama_size = os.environ.get("BENCH_LLAMA", "7b" if on_tpu else "tiny")
+    sam_size = os.environ.get("BENCH_SAM", "vit_h" if on_tpu else "vit_b_small")
+    wq = os.environ.get("BENCH_WQ", "int8" if on_tpu else "bf16")
+    kv_kind = os.environ.get("BENCH_KV", "dense")
     V = int(os.environ.get("BENCH_VIEWS", "4"))
-    B = int(os.environ.get("BENCH_BATCH", "2"))  # samples per call
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    B = int(os.environ.get("BENCH_BATCH", "2"))
+    T = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
+    L_TEXT = int(os.environ.get("BENCH_PROMPT", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    if size == "vit_h":
-        cfg = sam_vit_h(dtype=dtype)
-    elif size == "vit_b":
-        cfg = sam_vit_b(dtype=dtype)
-    else:  # small CPU smoke config
-        cfg = sam_vit_b(dtype=dtype, img_size=256, encoder_depth=2,
-                        encoder_global_attn_indexes=(1,))
+    if llama_size == "13b":
+        lcfg = llama_13b(dtype=dtype, remat=False, weights_int8=wq == "int8")
+    elif llama_size == "7b":
+        lcfg = llama_7b(dtype=dtype, remat=False, weights_int8=wq == "int8")
+    else:
+        lcfg = llama_tiny(dtype=dtype, weights_int8=wq == "int8")
+    if sam_size == "vit_h":
+        scfg = sam_vit_h(dtype=dtype)
+    elif sam_size == "vit_b":
+        scfg = sam_vit_b(dtype=dtype)
+    else:  # vit_b_small CPU smoke config
+        import dataclasses
 
-    S = cfg.img_size
+        scfg = dataclasses.replace(
+            sam_vit_b(dtype=dtype), img_size=256, encoder_depth=2,
+            encoder_global_attn_indexes=(1,),
+        )
+    ccfg = (clip_vit_l_14(dtype=dtype) if llama_size in ("7b", "13b")
+            else clip_tiny(dtype=dtype))
+    if llama_size not in ("7b", "13b"):
+        scfg = sam_tiny(dtype=dtype) if sam_size == "tiny" else scfg
+
+    seg_idx = min(lcfg.vocab_size - 1, 32000)
+    cfg = InteractVLMConfig(
+        llama=lcfg, clip=ccfg, sam=scfg,
+        seg_token_idx=seg_idx,
+        img_emb_len=ccfg.num_patches - 1,
+        multiview_channels=V,
+        out_dim=scfg.prompt_embed_dim,
+    )
+    S = scfg.img_size
     mask_size = 1024 if on_tpu else 256
+    Lp = L_TEXT - 1 + ccfg.num_patches
+    max_len = Lp + T
 
-    model = Sam(cfg)
+    llava = LlavaModel(lcfg, ccfg)
+    ivlm = InteractVLM(cfg)
     key = jax.random.PRNGKey(0)
-    pixels = jax.random.normal(key, (B * V, S, S, 3), dtype=dtype)
-    text = jax.random.normal(key, (B, cfg.prompt_embed_dim), dtype=dtype)
-    # jit the init: the axon tunnel has high per-dispatch latency, so
-    # op-by-op eager init would take forever
-    params = jax.jit(model.init)(key, pixels[:1], text[None])
+
+    # inputs (host-built, passed as jit args: the axon remote-compile payload
+    # must not carry them as constants)
+    rng = np.random.default_rng(0)
+    ids_np = rng.integers(4, min(lcfg.vocab_size, 30000), (B, L_TEXT))
+    ids_np[:, 1] = IMAGE_TOKEN_INDEX
+    ids = jnp.asarray(ids_np, jnp.int32)
+    attn_mask = jnp.ones((B, L_TEXT), jnp.int32)
+    clip_px = jax.random.normal(key, (B, ccfg.image_size, ccfg.image_size, 3),
+                                dtype)
+    sam_px = jax.random.normal(key, (B, V, S, S, 3), dtype)
+    cams = jnp.broadcast_to(
+        jnp.asarray(rng.normal(size=(V, 5)), jnp.float32), (B, V, 5)
+    )
+
+    import sys
+
+    def log(*a):
+        print("[bench]", *a, file=sys.stderr, flush=True)
 
     # realistic lift maps: rasterize a canonical body-like mesh under the
-    # real Vitruvian cameras, then invert to the gather form (the TPU fast
-    # path -- scatters serialize, gathers don't)
+    # real Vitruvian cameras, invert to gather form (scatters serialize on
+    # TPU, gathers do not). Built FIRST: the rasterizer's intermediate
+    # gathers need HBM that the 7B weights will occupy afterwards.
     verts, faces = _sphere()
     n_verts = len(verts)
-    cams = HUMAN_VIEWS["4MV-Z_Vitru_mv2"].cam_params()[:V]
-    win = max(pick_window(verts, faces, c, mask_size) for c in cams)
+    view_cams = HUMAN_VIEWS["4MV-Z_Vitru_mv2"].cam_params()[:V]
+    win = max(pick_window(verts, faces, c, mask_size) for c in view_cams)
+    t0 = time.perf_counter()
     p2v, bary, _ = build_lift_maps(
-        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(cams),
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(view_cams),
         mask_size, win,
     )
-    # K capped: test meshes have degenerate pole hubs; SMPL tops out far
-    # lower. Excess contributions at hub vertices are dropped (bench only).
     gidx, gw = build_gather_maps(
         np.asarray(p2v), np.asarray(bary), n_verts, max_k=256
     )
+    gidx, gw = jnp.asarray(gidx), jnp.asarray(gw)
+    del p2v, bary
+    log(f"lift maps {time.perf_counter() - t0:.1f}s")
 
-    def pipeline(params, pixels, text, gidx, gw):
-        # B samples x V views fold into one encoder batch; each sample's
-        # prompt token set goes to each of its V views (the composite
-        # model's decode_view_masks pattern)
-        emb = model.apply(params, pixels, method=Sam.encode_image)
-        prompts = jnp.repeat(text[:, None, :], V, axis=0).reshape(
-            B * V, 1, cfg.prompt_embed_dim
+    t0 = time.perf_counter()
+    llava_params = jax.jit(llava.init)(key, ids, clip_px)
+    log(f"llava init {time.perf_counter() - t0:.1f}s")
+
+    def tail_init(key, seg_hidden, token_id, sam_px1, cams1):
+        return ivlm.init(key, seg_hidden, token_id, sam_px1, cams1,
+                         mask_size, method=InteractVLM.masks_from_seg_hidden)
+
+    seg_h0 = jnp.zeros((1, lcfg.hidden_size), dtype)
+    tok0 = jnp.full((1,), seg_idx, jnp.int32)
+    t0 = time.perf_counter()
+    tail_params = jax.jit(tail_init)(key, seg_h0, tok0, sam_px[:1], cams[:1])
+    log(f"tail init {time.perf_counter() - t0:.1f}s")
+
+    def e2e(llava_params, tail_params, ids, attn_mask, clip_px, sam_px,
+            cams, gidx, gw):
+        gen = greedy_generate(
+            llava, llava_params, ids, clip_px,
+            max_new_tokens=T, eos_id=-1,  # never stops: stable step count
+            attn_mask=attn_mask, kv_cache=kv_kind,
         )
-        low, _ = model.apply(params, emb, prompts, method=Sam.decode_masks)
-        masks = jax.image.resize(
-            low[:, 0].astype(jnp.float32),
-            (B * V, mask_size, mask_size), method="bilinear",
-        ).reshape(B, V, mask_size, mask_size)
-        return jax.vmap(
+        # seg-token search over the WHOLE generated sequence + gather of its
+        # predictor hidden, exactly as eval does (InteractVLM.py:524-576).
+        # This also makes every decode step's output live -- without it XLA
+        # DCEs the decode scan and the bench silently measures prefill only.
+        gen_ids = gen["generated_ids"]
+        is_seg = gen_ids == seg_idx
+        first = jnp.argmax(is_seg, axis=1)
+        seg_hidden = jnp.take_along_axis(
+            gen["step_hidden"], first[:, None, None], axis=1
+        )[:, 0].astype(dtype)
+        token_id = jnp.full((B,), seg_idx, jnp.int32)
+        masks = ivlm.apply(
+            tail_params, seg_hidden, token_id, sam_px, cams, mask_size,
+            method=InteractVLM.masks_from_seg_hidden,
+        )
+        lifted = jax.vmap(
             lambda m: lift_multiview_soft_gather(m, gidx, gw)
         )(masks)
+        # keep the emitted tokens live in the loop carry as well
+        return lifted + (gen_ids.sum() * 1e-12).astype(lifted.dtype)
 
-    # amortize host->device dispatch latency: run `iters` pipeline
-    # invocations inside one jit call via fori_loop (data-dependent so
-    # nothing is DCE'd); large arrays passed as args so they don't bloat
-    # the (remote) compile payload as constants
-    def pipeline_n(params, pixels, text, gidx, gw):
+    def bench_n(llava_params, tail_params, ids, attn_mask, clip_px, sam_px,
+                cams, gidx, gw):
         def body(i, acc):
-            shifted = pixels + acc[0] * 1e-6
-            lifted = pipeline(params, shifted, text, gidx, gw)
-            return (lifted.mean(), acc[1] + lifted.sum())
+            # EVERY leg's input must depend on the previous iteration or XLA
+            # hoists that leg out of the loop as loop-invariant
+            d = acc[0].astype(dtype) * 1e-6
+            lifted = e2e(llava_params, tail_params, ids, attn_mask,
+                         clip_px + d, sam_px + d, cams, gidx, gw)
+            return (lifted.mean().astype(jnp.float32),
+                    acc[1] + lifted.sum().astype(jnp.float32))
 
         return jax.lax.fori_loop(
             0, iters, body, (jnp.float32(0.0), jnp.float32(0.0))
         )
 
-    fn = jax.jit(pipeline_n)
-    out = fn(params, pixels, text, gidx, gw)
-    jax.block_until_ready(out)  # compile + warmup
+    fn = jax.jit(bench_n)
+    args = (llava_params, tail_params, ids, attn_mask, clip_px, sam_px,
+            cams, gidx, gw)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    float(np.asarray(jax.device_get(out[0])))  # compile + warmup (fetch syncs)
+    log(f"e2e compile+warmup {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    out = fn(params, pixels, text, gidx, gw)
-    jax.block_until_ready(out)
+    out = fn(*args)
+    sync = float(np.asarray(jax.device_get(out[0])))  # tunnel-safe sync
     dt = (time.perf_counter() - t0) / iters
-    images_per_sec = B / dt  # B samples (V views each) per inner iteration
+    images_per_sec = B / dt
+    assert np.isfinite(sync)
+
+    flops = _flops_per_image(cfg, V, Lp, T, mask_size)
+    mfu = images_per_sec * flops / V5E_BF16_PEAK_FLOPS if on_tpu else 0.0
 
     print(json.dumps({
-        "metric": f"hcontact_infer_images_per_sec_{size}_{V}view_b{B}",
+        "metric": (f"e2e_evaluate_images_per_sec_llama{llama_size}-{wq}_"
+                   f"{sam_size}_{V}view_b{B}_t{T}"),
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+        "vs_baseline": round(images_per_sec / BASELINE_E2E_IMAGES_PER_SEC, 4),
+        "mfu": round(mfu, 4),
+        "flops_per_image": flops,
+        "kv_cache": kv_kind,
     }))
 
 

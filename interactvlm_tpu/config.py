@@ -146,6 +146,11 @@ class LlamaConfig:
     # LoRA adapters on q_proj/v_proj (reference train.py:285-312: r=8, a=16)
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # int8 serving weights: projection/MLP/lm_head kernels are stored int8
+    # with per-output-channel scales and consumed by int8 MXU matmuls (the
+    # reference's bitsandbytes 8-bit role, run_demo.py:106-129). Halves
+    # weight HBM bytes -- the decode loop is weight-bandwidth-bound.
+    weights_int8: bool = False
 
 
 def llama_13b(**kw) -> LlamaConfig:

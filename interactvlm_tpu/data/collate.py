@@ -60,6 +60,12 @@ class Sample:
     ds_name: str
     mask_paths: List[str]
     inference: bool = False
+    # per-sample object lift maps (reference loads them per sample from
+    # paths derived from the mask paths, model/components.py:309, :363-377)
+    obj_p2p: Optional[np.ndarray] = None  # (V, H, W) int32, -1 invalid
+    obj_p2v: Optional[np.ndarray] = None  # (V, H, W, 3) int32, -1 invalid
+    obj_bary: Optional[np.ndarray] = None  # (V, H, W, 3) float32
+    num_valid_verts: int = 0  # real vertex count (ocontact meshes)
 
 
 def _repeat_views(x: np.ndarray, V: int) -> np.ndarray:
@@ -79,6 +85,8 @@ def collate(
     num_object_points: int = 2048,
     human_maps: Optional[Dict[str, np.ndarray]] = None,
     include_maps: bool = True,
+    include_object_maps: bool = False,
+    max_object_vertices: int = 8192,
 ) -> Dict[str, Any]:
     """Returns the model batch dict plus host-side metadata lists.
 
@@ -125,6 +133,40 @@ def collate(
     if include_maps and human_maps is not None:
         batch["human_p2v"] = human_maps["p2v"]
         batch["human_bary"] = human_maps["bary"]
+    if include_object_maps:
+        # fixed-shape per-sample object lift maps; rows without maps carry
+        # -1 (invalid everywhere -> their lift scatters nothing). The flag
+        # is per-RUN (set when the mixture contains object datasets) so the
+        # batch structure stays static for jit.
+        Hm, Wm = masks.shape[-2], masks.shape[-1]
+        obj_p2p = np.full((B, V, Hm, Wm), -1, np.int32)
+        obj_p2v = np.full((B, V, Hm, Wm, 3), -1, np.int32)
+        obj_bary = np.zeros((B, V, Hm, Wm, 3), np.float32)
+        valid_verts = np.zeros((B, max_object_vertices), np.float32)
+        gt_oc = np.zeros((B, max_object_vertices), np.float32)
+        for i, s in enumerate(samples):
+            if s.obj_p2p is not None:
+                obj_p2p[i] = _repeat_views(
+                    np.asarray(s.obj_p2p, np.int32), V
+                )
+            if s.obj_p2v is not None:
+                obj_p2v[i] = _repeat_views(
+                    np.asarray(s.obj_p2v, np.int32), V
+                )
+                obj_bary[i] = _repeat_views(
+                    np.asarray(s.obj_bary, np.float32), V
+                )
+            if task_ids[i] == 4:
+                v = np.asarray(s.gt_contact_3d, np.float32).reshape(-1)[
+                    :max_object_vertices
+                ]
+                gt_oc[i, : v.size] = v
+                n = int(s.num_valid_verts) or v.size
+                valid_verts[i, : min(n, max_object_vertices)] = 1.0
+        batch.update(
+            obj_p2p=obj_p2p, obj_p2v=obj_p2v, obj_bary=obj_bary,
+            obj_valid_verts=valid_verts, gt_ocontact=gt_oc,
+        )
 
     meta = {
         "image_paths": [s.image_path for s in samples],

@@ -300,6 +300,16 @@ class OAffordDataset(BaseContactDataset):
         ]
 
     def __getitem__(self, idx: int) -> Sample:
+        # missing-file skip-and-retry, reference ocontact_3d.py:179-222
+        for attempt in range(5):
+            try:
+                return self._load(idx)
+            except FileNotFoundError as e:
+                last = e
+                idx = self.rng.randrange(len(self.samples))
+        raise last
+
+    def _load(self, idx: int) -> Sample:
         rec = self.samples[idx]
         oid = rec["object_id"]
         sam_images, valid, _, resize = self.load_views(
@@ -313,6 +323,13 @@ class OAffordDataset(BaseContactDataset):
         ].astype(np.float32)[: self.num_points]
         if gt.size < self.num_points:
             gt = np.pad(gt, (0, self.num_points - gt.size))
+
+        # per-sample pixel->point map (reference derives the p2pmap path
+        # from the mask path, model/components.py:309)
+        obj_p2p = None
+        maps_path = join(self.folder, "maps", f"{oid}.npz")
+        if os.path.exists(maps_path):
+            obj_p2p = np.load(maps_path)["p2p"].astype(np.int32)
 
         conv, q = self.object_conversation(
             rec["class_name"], rec.get("affordance"), self.question_type
@@ -334,6 +351,7 @@ class OAffordDataset(BaseContactDataset):
             sampled_classes=[rec["class_name"]],
             ds_name=self.ds_name,
             mask_paths=mask_paths,
+            obj_p2p=obj_p2p,
         )
 
 
@@ -460,6 +478,16 @@ class OContactDataset(BaseContactDataset):
         return len(self.samples)
 
     def __getitem__(self, idx: int) -> Sample:
+        # missing-file skip-and-retry, reference ocontact_3d.py:179-222
+        for attempt in range(5):
+            try:
+                return self._load(idx)
+            except FileNotFoundError as e:
+                last = e
+                idx = self.rng.randrange(len(self.samples))
+        raise last
+
+    def _load(self, idx: int) -> Sample:
         rec = self.samples[idx]
         oid = rec["object_id"]
         paths = [
@@ -475,10 +503,20 @@ class OContactDataset(BaseContactDataset):
 
         gt_file = np.load(join(self.folder, "gt", f"{oid}.npz"))
         contact = gt_file["contact"].astype(np.float32)
+        n_verts = int(gt_file.get("n_verts", contact.size))
         gt = np.zeros(self.max_vertices, np.float32)
         gt[: min(contact.size, self.max_vertices)] = contact[
             : self.max_vertices
         ]
+
+        # per-sample pixel->vertex + barycentric maps
+        # (reference model/components.py:363-377 loads p2vmap npz per sample)
+        obj_p2v = obj_bary = None
+        maps_path = join(self.folder, "maps", f"{oid}.npz")
+        if os.path.exists(maps_path):
+            m = np.load(maps_path)
+            obj_p2v = m["p2v"].astype(np.int32)
+            obj_bary = m["bary"].astype(np.float32)
 
         conv, q = self.object_conversation(
             rec["class_name"], question_type=self.question_type
@@ -499,6 +537,9 @@ class OContactDataset(BaseContactDataset):
             sampled_classes=[rec["class_name"]],
             ds_name=self.ds_name,
             mask_paths=mask_paths,
+            obj_p2v=obj_p2v,
+            obj_bary=obj_bary,
+            num_valid_verts=n_verts,
         )
 
 

@@ -372,7 +372,14 @@ def main(argv=None):
     for k, v in cfg_json.items():
         if hasattr(train_args, k):
             setattr(train_args, k, v)
-    model, cfg = build_model_and_config(train_args)
+    # token registry persisted at train time (tokens precede the model build)
+    token_kw = {
+        k: cfg_json[k]
+        for k in ("vocab_size", "seg_token_idx",
+                  "hseg_token_idx", "oseg_token_idx")
+        if k in cfg_json
+    }
+    model, cfg = build_model_and_config(train_args, **token_kw)
 
     import flax.linen as nn
 

@@ -25,7 +25,9 @@ from interactvlm_tpu.ops import dot_product_attention
 KVCache = Dict[str, Any]  # {"k": (B,L,nkv,d), "v": ..., "index": scalar}
 
 
-def _dense(features, axes, name, dtype, use_bias=False):
+def _dense(features, axes, name, dtype, use_bias=False, int8=False):
+    if int8:
+        return Int8Dense(features, axes, dtype, name=name)
     return nn.Dense(
         features,
         use_bias=use_bias,
@@ -35,6 +37,51 @@ def _dense(features, axes, name, dtype, use_bias=False):
         ),
         name=name,
     )
+
+
+def _int8_kernel_init(key, shape, dtype=jnp.int8):
+    # int8 draw directly -- an int32 intermediate would 4x the init memory
+    # (13B-scale init must not OOM a 16GB chip)
+    return jax.random.randint(key, shape, -127, 128, jnp.int8)
+
+
+class Int8Dense(nn.Module):
+    """Dense layer with int8 weights + per-output-channel f32 scales.
+
+    The serving-weight format of ``ops/quant.quantize_params_int8``
+    ({'q','scale'} flattened to two params) consumed directly by an
+    int8xint8 MXU matmul -- the reference's bnb 8-bit inference role
+    (``run_demo.py:106-129``). Converted from trained bf16 kernels via
+    ``utils/weights.int8_serving_params``.
+    """
+
+    features: int
+    axes: tuple
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from interactvlm_tpu.ops.quant import int8_matmul
+
+        k = x.shape[-1]
+        q = self.param(
+            "kernel_q",
+            nn.with_logical_partitioning(_int8_kernel_init, self.axes),
+            (k, self.features),
+        )
+        # init scale matches lecun-normal magnitude: std 1/sqrt(k) spread
+        # over the int8 grid
+        scale = self.param(
+            "kernel_scale",
+            nn.with_logical_partitioning(
+                lambda key, shape: jnp.full(
+                    shape, 1.0 / (127.0 * (k ** 0.5)), jnp.float32
+                ),
+                (None, self.axes[-1]),
+            ),
+            (1, self.features),
+        )
+        return int8_matmul(x, q, scale, dtype=self.dtype)
 
 
 class LoraDense(nn.Module):
@@ -130,6 +177,7 @@ class LlamaAttention(nn.Module):
         nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
         if cfg.lora_rank > 0:
+            assert not cfg.weights_int8, "LoRA trains bf16; merge before int8"
             q = LoraDense(
                 nh * d, ("embed", "heads"), cfg.lora_rank, cfg.lora_alpha,
                 cfg.dtype, name="q_proj",
@@ -139,9 +187,12 @@ class LlamaAttention(nn.Module):
                 cfg.dtype, name="v_proj",
             )(x)
         else:
-            q = _dense(nh * d, ("embed", "heads"), "q_proj", cfg.dtype)(x)
-            v = _dense(nkv * d, ("embed", "kv_heads"), "v_proj", cfg.dtype)(x)
-        k = _dense(nkv * d, ("embed", "kv_heads"), "k_proj", cfg.dtype)(x)
+            q = _dense(nh * d, ("embed", "heads"), "q_proj", cfg.dtype,
+                       int8=cfg.weights_int8)(x)
+            v = _dense(nkv * d, ("embed", "kv_heads"), "v_proj", cfg.dtype,
+                       int8=cfg.weights_int8)(x)
+        k = _dense(nkv * d, ("embed", "kv_heads"), "k_proj", cfg.dtype,
+                   int8=cfg.weights_int8)(x)
         q = q.reshape(B, L, nh, d)
         k = k.reshape(B, L, nkv, d)
         v = v.reshape(B, L, nkv, d)
@@ -224,9 +275,8 @@ class LlamaAttention(nn.Module):
         else:
             out = dot_product_attention(qh, kh, vh, bias=bias, causal=causal)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, nh * d)
-        out = _dense(cfg.hidden_size, ("heads", "embed"), "o_proj", cfg.dtype)(
-            out
-        )
+        out = _dense(cfg.hidden_size, ("heads", "embed"), "o_proj", cfg.dtype,
+                     int8=cfg.weights_int8)(out)
         return out, new_cache
 
 
@@ -236,11 +286,13 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        gate = _dense(cfg.intermediate_size, ("embed", "mlp"), "gate_proj", cfg.dtype)(x)
-        up = _dense(cfg.intermediate_size, ("embed", "mlp"), "up_proj", cfg.dtype)(x)
-        return _dense(cfg.hidden_size, ("mlp", "embed"), "down_proj", cfg.dtype)(
-            nn.silu(gate) * up
-        )
+        i8 = cfg.weights_int8
+        gate = _dense(cfg.intermediate_size, ("embed", "mlp"), "gate_proj",
+                      cfg.dtype, int8=i8)(x)
+        up = _dense(cfg.intermediate_size, ("embed", "mlp"), "up_proj",
+                    cfg.dtype, int8=i8)(x)
+        return _dense(cfg.hidden_size, ("mlp", "embed"), "down_proj",
+                      cfg.dtype, int8=i8)(nn.silu(gate) * up)
 
 
 class LlamaBlock(nn.Module):
@@ -323,6 +375,7 @@ class LlamaForCausalLM(nn.Module):
             ("embed", "vocab"),
             "lm_head",
             self.config.dtype,
+            int8=self.config.weights_int8,
         )
 
     def __call__(self, input_ids, attn_mask=None):

@@ -203,7 +203,10 @@ def combined_mask_losses(
     mse = mse_mask_loss(pred_masks, gt_masks)
 
     hm = is_heatmap.astype(jnp.float32)
-    n_binary = jnp.maximum(jnp.sum(has_mask.astype(jnp.float32)), 1e-8)
+    # the reference increments num_binary_masks for EVERY batch row,
+    # including VQA/empty-mask rows (losses.py:54-72) -- normalize by the
+    # full batch so mixed batches weight mask losses identically
+    n_binary = jnp.float32(pred_masks.shape[0])
     n_heat = jnp.sum(hm)
 
     mask_bce = bce_loss_weight * jnp.sum(focal * has_mask) / n_binary

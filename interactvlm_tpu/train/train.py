@@ -13,7 +13,6 @@ Supports ``--synthetic`` for smoke runs without data or a real tokenizer.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import time
 from typing import Optional
@@ -68,6 +67,8 @@ def parse_args(argv=None):
     p.add_argument("--mask_size", type=int, default=32,
                    help="synthetic-mode label size")
     p.add_argument("--val_every", type=int, default=1)
+    p.add_argument("--val_batches", type=int, default=50,
+                   help="max validation batches per epoch gate")
     p.add_argument("--save_every", type=int, default=1)
     p.add_argument("--no_eval", action="store_true")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -75,7 +76,16 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_model_and_config(args):
+def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
+                           hseg_token_idx=None, oseg_token_idx=None):
+    """Build the composite model.
+
+    Token registration MUST precede the model build: the [SEG]/[HSEG]/[OSEG]
+    ids live past the base 32000 vocab, so ``vocab_size`` must already
+    account for them or embed_tokens/lm_head can never represent them
+    (reference adds tokens before from_pretrained + resize, train.py:163-179,
+    utils/utils.py:335-362).
+    """
     from interactvlm_tpu import config as cfgs
     from interactvlm_tpu.models.interactvlm import InteractVLM
 
@@ -83,10 +93,19 @@ def build_model_and_config(args):
         llama = cfgs.llama_tiny(lora_rank=args.lora_r and 4)
         cfg = cfgs.interactvlm_tiny(llama=llama)
     else:
+        llama_kw = dict(lora_rank=args.lora_r, lora_alpha=args.lora_alpha)
+        if vocab_size is not None:
+            llama_kw["vocab_size"] = vocab_size
+        tok_kw = {}
+        if seg_token_idx is not None:
+            tok_kw = dict(
+                seg_token_idx=seg_token_idx,
+                hseg_token_idx=hseg_token_idx,
+                oseg_token_idx=oseg_token_idx,
+            )
         cfg = cfgs.InteractVLMConfig(
-            llama=cfgs.llama_13b(
-                lora_rank=args.lora_r, lora_alpha=args.lora_alpha
-            ),
+            llama=cfgs.llama_13b(**llama_kw),
+            **tok_kw,
             token_type=args.token_type,
             hC_sam_view_type=args.hC_sam_view_type,
             oC_sam_view_type=args.oC_sam_view_type,
@@ -146,6 +165,10 @@ def real_batch_iter(args, cfg, tokenizer):
         * args.steps_per_epoch,
     )
 
+    # object lift maps ride every batch iff the mixture contains object
+    # datasets (fixed per run so the jit batch structure stays static)
+    include_object_maps = any(n in ("oafford", "ocontact") for n in names)
+
     def gen():
         idx = 0
         while True:
@@ -157,10 +180,80 @@ def real_batch_iter(args, cfg, tokenizer):
             batch, _ = collate(
                 samples, tokenizer, max_len=args.model_max_length,
                 multiview_channels=args.multiview_channels,
+                include_object_maps=include_object_maps,
             )
             yield batch
 
     return PrefetchIterator(gen(), depth=2)
+
+
+def make_validator(args, cfg, model, tokenizer, example):
+    """Generate-mode validation closure for the epoch gate (reference
+    train.py:421-472 validates and gates best-checkpoint saving on the
+    contact metric, not train loss)."""
+    from interactvlm_tpu.eval.evaluate import validate
+
+    if args.synthetic:
+        from interactvlm_tpu.utils.testing import make_synthetic_batch
+
+        human_maps = {
+            "p2v": example["human_p2v"], "bary": example["human_bary"],
+            "num_vertices": cfg.num_human_vertices,
+        }
+
+        def batches():
+            for i in range(2):
+                b = make_synthetic_batch(
+                    cfg, B=args.batch_size, tasks=(2,),
+                    mask_size=args.mask_size, seed=10_000 + i,
+                )
+                meta = {
+                    "image_paths": [f"val{i}_{j}.jpg"
+                                    for j in range(args.batch_size)],
+                    "sampled_classes_list": [["chair"]] * args.batch_size,
+                }
+                yield b, meta
+
+        mask_size = args.mask_size
+        ds_name = "hcontact"
+    else:
+        from interactvlm_tpu.data.collate import collate
+        from interactvlm_tpu.data.datasets import DATASET_REGISTRY, ValDataset
+
+        name = args.dataset.split("||")[0]
+        ds = ValDataset(DATASET_REGISTRY[name](args.dataset_dir, split="val"))
+        mask_size = ds.dataset.view_set.mask_size
+        ds_name = name
+        maps_path = os.path.join(args.dataset_dir, "human_lift_maps.npz")
+        human_maps = None
+        if os.path.exists(maps_path):
+            import jax.numpy as jnp
+
+            maps_npz = np.load(maps_path)
+            human_maps = {
+                "p2v": jnp.asarray(maps_npz["p2v"]),
+                "bary": jnp.asarray(maps_npz["bary"]),
+                "num_vertices": cfg.num_human_vertices,
+            }
+
+        def batches():
+            for i in range(0, min(len(ds), args.val_batches * args.batch_size),
+                           args.batch_size):
+                samples = [ds[j] for j in
+                           range(i, min(i + args.batch_size, len(ds)))]
+                yield collate(samples, tokenizer,
+                              max_len=args.model_max_length,
+                              multiview_channels=args.multiview_channels)
+
+    def val_fn(params):
+        results, _ = validate(
+            batches(), model, params, cfg, ds_name, mask_size,
+            human_maps=human_maps,
+        )
+        # contact F1 is the gate when available (reference train.py:434-453)
+        return results.get("f1", results.get("giou", 0.0)), results
+
+    return val_fn
 
 
 def main(argv=None):
@@ -183,8 +276,31 @@ def main(argv=None):
     run_dir = os.path.join(args.log_base_dir, args.exp_name)
     os.makedirs(run_dir, exist_ok=True)
 
-    model, cfg = build_model_and_config(args)
-    save_config(run_dir, vars(args), "pretrained_config.json")
+    # tokenizer + seg tokens FIRST, then the model, so the vocab table and
+    # token indices are correct from construction (reference train.py:163-179)
+    tokenizer = None
+    token_kw = {}
+    if not args.synthetic:
+        from transformers import AutoTokenizer
+
+        from interactvlm_tpu.utils.constants import add_new_tokens
+
+        tokenizer = AutoTokenizer.from_pretrained(
+            args.version, model_max_length=args.model_max_length
+        )
+        tokenizer.pad_token = tokenizer.unk_token
+        tokenizer, seg, hseg, oseg = add_new_tokens(
+            tokenizer, args.token_type
+        )
+        token_kw = dict(
+            vocab_size=len(tokenizer), seg_token_idx=seg,
+            hseg_token_idx=hseg, oseg_token_idx=oseg,
+        )
+
+    model, cfg = build_model_and_config(args, **token_kw)
+    save_config(
+        run_dir, {**vars(args), **token_kw}, "pretrained_config.json"
+    )
     save_config(run_dir, cfg, "config.json")
     from interactvlm_tpu.utils.profiling import copy_code_snapshot
 
@@ -197,20 +313,6 @@ def main(argv=None):
     if args.synthetic:
         batches = synthetic_batch_iter(cfg, args.batch_size, args.mask_size)
     else:
-        from transformers import AutoTokenizer
-
-        from interactvlm_tpu.utils.constants import add_new_tokens
-
-        tokenizer = AutoTokenizer.from_pretrained(
-            args.version, model_max_length=args.model_max_length
-        )
-        tokenizer.pad_token = tokenizer.unk_token
-        tokenizer, seg, hseg, oseg = add_new_tokens(
-            tokenizer, args.token_type
-        )
-        cfg = dataclasses.replace(
-            cfg, seg_token_idx=seg, hseg_token_idx=hseg, oseg_token_idx=oseg
-        )
         batches = real_batch_iter(args, cfg, tokenizer)
 
     example = next(batches)
@@ -254,6 +356,10 @@ def main(argv=None):
         batch_time = AverageMeter("batch_time")
         data_time = AverageMeter("data_time")
         start_epoch = int(state.step) // args.steps_per_epoch
+        first_micro = (
+            jax.tree.map(lambda x: x[0], example) if accum > 1 else example
+        )
+        val_fn = None
 
         for epoch in range(start_epoch, args.epochs):
             for it in range(args.steps_per_epoch):
@@ -277,10 +383,11 @@ def main(argv=None):
                 batch_time.update(time.time() - t0)
                 if it % 10 == 0:
                     loss = float(metrics["loss"])
-                    if not np.isfinite(loss):
-                        # NaN guard (reference train.py:547-551): skip the
-                        # logging; the masked optimizer already clipped
-                        print(f"WARNING: non-finite loss at {epoch}:{it}")
+                    if float(metrics.get("skipped_nonfinite", 0.0)) > 0:
+                        # NaN guard: the compiled step already dropped this
+                        # update (reference train.py:547-551 skips the batch)
+                        print(f"WARNING: non-finite loss at {epoch}:{it}; "
+                              "update skipped")
                     lr_now = float(sched(int(state.step)))
                     print(
                         f"epoch {epoch} step {it}/{args.steps_per_epoch} "
@@ -291,9 +398,12 @@ def main(argv=None):
             if (epoch + 1) % args.save_every == 0:
                 ckpt.save(int(state.step), state)
             if not args.no_eval and (epoch + 1) % args.val_every == 0:
-                # validation: reuse the train metrics as the gate in
-                # synthetic mode; the eval driver handles real data
-                score = -float(metrics["loss"])
+                if val_fn is None:
+                    val_fn = make_validator(args, cfg, model, tokenizer,
+                                            first_micro)
+                score, vres = val_fn(state.params)
+                print(f"epoch {epoch} val: "
+                      + " ".join(f"{k}={v:.4f}" for k, v in vres.items()))
                 if ckpt.save_best(int(state.step), state, score):
                     print(f"new best at step {int(state.step)}: {score:.4f}")
 

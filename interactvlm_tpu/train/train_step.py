@@ -57,9 +57,41 @@ def zero_shard_leaf(shape_dtype, mesh: Mesh, min_size: int = 2**14):
     return NamedSharding(mesh, P())
 
 
-def opt_state_shardings(tx, params_shapes, mesh: Mesh):
+def opt_state_shardings(tx, params_shapes, mesh: Mesh, param_shardings=None):
+    """Shardings for the optimizer state.
+
+    Adam moments mirror the params; a moment leaf whose param is TP-sharded
+    keeps the param's sharding (state and param shardings must agree or
+    every step pays resharding traffic), while moments of replicated params
+    are ZeRO-sharded over ``data``. Matching is by shape: layers sharing a
+    shape share logical axes in this model family.
+    """
     abs_state = jax.eval_shape(tx.init, params_shapes)
-    return jax.tree.map(lambda l: zero_shard_leaf(l, mesh), abs_state)
+    n_data = mesh.shape["data"]
+    by_shape = {}
+    if param_shardings is not None:
+        for sd, sh in zip(
+            jax.tree.leaves(params_shapes), jax.tree.leaves(param_shardings)
+        ):
+            by_shape.setdefault((sd.shape, sd.dtype), sh)
+
+    def one(leaf, min_size: int = 2 ** 14):
+        sh = by_shape.get((leaf.shape, leaf.dtype))
+        if sh is None:
+            return zero_shard_leaf(leaf, mesh)
+        # start from the param's own (TP) spec, then ZeRO-shard a free axis
+        spec = list(sh.spec) + [None] * (len(leaf.shape) - len(sh.spec))
+        size = 1
+        for s in leaf.shape:
+            size *= s
+        if size >= min_size:
+            for i, s in enumerate(leaf.shape):
+                if spec[i] is None and s % n_data == 0 and s > 0:
+                    spec[i] = "data"
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(one, abs_state)
 
 
 def create_sharded_state(model, tx, example_batch, mesh: Mesh, rng=None):
@@ -80,7 +112,9 @@ def create_sharded_state(model, tx, example_batch, mesh: Mesh, rng=None):
         variables = init_jit()
 
     params_shapes = jax.eval_shape(lambda: variables)
-    opt_shardings = opt_state_shardings(tx, params_shapes, mesh)
+    opt_shardings = opt_state_shardings(
+        tx, params_shapes, mesh, param_shardings=nn.meta.unbox(shardings)
+    )
     opt_init_jit = jax.jit(tx.init, out_shardings=opt_shardings)
     with mesh:
         opt_state = opt_init_jit(variables)
@@ -161,9 +195,24 @@ def make_train_step(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        # NaN guard: a non-finite loss/grad skips the whole update
+        # (reference train.py:547-551 skips the batch), branch-free so it
+        # stays inside the compiled step.
+        ok = jnp.isfinite(metrics[loss_key]) & jnp.isfinite(
+            metrics["grad_norm"]
+        )
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_params, state.params
+        )
+        new_opt = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new_opt, state.opt_state
+        )
+        metrics["skipped_nonfinite"] = 1.0 - ok.astype(jnp.float32)
         return (
             TrainState(
-                step=state.step + 1, params=new_params, opt_state=new_opt
+                step=state.step + ok.astype(state.step.dtype),
+                params=new_params,
+                opt_state=new_opt,
             ),
             metrics,
         )

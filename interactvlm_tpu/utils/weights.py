@@ -301,6 +301,35 @@ def merge_lora(params: Dict, alpha: float, rank: int) -> Dict:
     return merge_node(params)
 
 
+_INT8_TARGETS = (
+    "q_proj", "k_proj", "v_proj", "o_proj",
+    "gate_proj", "up_proj", "down_proj", "lm_head",
+)
+
+
+def int8_serving_params(params: Dict, targets=_INT8_TARGETS) -> Dict:
+    """Convert trained bf16 LLaMA kernels to the ``Int8Dense`` layout
+    (kernel -> kernel_q int8 + kernel_scale f32 per output channel), for a
+    model built with ``LlamaConfig(weights_int8=True)``.
+
+    Serving analog of the reference's bnb 8-bit load (run_demo.py:106-129);
+    merge LoRA first (``merge_lora``).
+    """
+    from interactvlm_tpu.ops.quant import quantize_int8
+
+    import jax.numpy as jnp
+
+    def walk(name, node):
+        if isinstance(node, dict):
+            if name in targets and set(node) == {"kernel"}:
+                q, s = quantize_int8(jnp.asarray(node["kernel"]), axis=0)
+                return {"kernel_q": q, "kernel_scale": s}
+            return {k: walk(k, v) for k, v in node.items()}
+        return node
+
+    return walk("", params)
+
+
 # --------------------------------------------------------------------------
 def load_torch_state_dict(path: str) -> Dict:
     """Load a .pth/.bin/.safetensors state dict to numpy."""

@@ -87,6 +87,38 @@ def data_root(tmp_path_factory):
         join(o, "gt", "chair_001.npz"),
         affordance=rng.random(2048).astype(np.float32),
     )
+    # per-sample pixel->point map: the heatmap's active pixels point at the
+    # first 64 points (reference p2pmap npz, components.py:309)
+    p2p = np.full((4, 64, 64), -1, np.int32)
+    p2p[:, 20:30, 20:40] = rng.integers(0, 64, (4, 10, 20))
+    os.makedirs(join(o, "maps"), exist_ok=True)
+    np.savez(join(o, "maps", "chair_001.npz"), p2p=p2p)
+
+    # pico ocontact tree
+    p = join(root, "pico_ocontact")
+    os.makedirs(p, exist_ok=True)
+    with open(join(p, "index.pkl"), "wb") as f:
+        pickle.dump(
+            {"train": [{"image": "img2.jpg", "object_id": "mug_007",
+                        "class_name": "Mug"}],
+             "test": []}, f)
+    for v in VIEWS_O:
+        img = np.full((64, 64, 3), 255, np.uint8)
+        img[10:50, 10:50] = 90
+        save_png(join(p, "renders", f"mug_007_{v}.png"), img)
+        m = np.zeros((64, 64), np.uint8)
+        m[24:34, 24:34] = 255
+        save_png(join(p, "masks", f"mug_007_{v}.png"), m)
+    os.makedirs(join(p, "gt"), exist_ok=True)
+    contact = np.zeros(500, np.float32)
+    contact[rng.integers(0, 500, 40)] = 1.0
+    np.savez(join(p, "gt", "mug_007.npz"), contact=contact, n_verts=500)
+    p2v = np.full((4, 64, 64, 3), -1, np.int32)
+    p2v[:, 24:34, 24:34] = rng.integers(0, 500, (4, 10, 10, 3))
+    bary = np.zeros((4, 64, 64, 3), np.float32)
+    bary[:, 24:34, 24:34] = 1.0 / 3.0
+    os.makedirs(join(p, "maps"), exist_ok=True)
+    np.savez(join(p, "maps", "mug_007.npz"), p2v=p2v, bary=bary)
 
     # vqa
     with open(join(root, "vqa.pkl"), "wb") as f:
@@ -134,6 +166,66 @@ class TestOAfford:
         valid_vals = s.masks[s.masks != IGNORE_LABEL]
         assert 0 <= valid_vals.min() and valid_vals.max() <= 1
         assert "chair" in s.questions[0]
+
+
+class TestObjectLiftMaps:
+    """VERDICT r1 item 5: object lift maps must ride real (fixture-tree)
+    batches and produce non-zero oA/oC 3D losses."""
+
+    def test_oafford_sample_carries_p2p(self, data_root):
+        ds = OAffordDataset(data_root, image_size=64)
+        s = ds[0]
+        assert s.obj_p2p is not None and s.obj_p2p.shape == (4, 64, 64)
+        assert (s.obj_p2p >= 0).any()
+
+    def test_ocontact_sample_carries_p2v_bary(self, data_root):
+        from interactvlm_tpu.data.datasets import OContactDataset
+
+        ds = OContactDataset(data_root, image_size=64)
+        s = ds[0]
+        assert s.obj_p2v.shape == (4, 64, 64, 3)
+        assert s.obj_bary.shape == (4, 64, 64, 3)
+        assert s.num_valid_verts == 500
+        assert (s.obj_p2v >= 0).any()
+
+    def test_collated_batch_trains_object_losses(self, data_root):
+        import jax.numpy as jnp
+
+        from interactvlm_tpu.data.datasets import OContactDataset
+        from interactvlm_tpu.models import losses as L
+
+        oa = OAffordDataset(data_root, image_size=64)
+        oc = OContactDataset(data_root, image_size=64)
+        tok = WhitespaceTokenizer()
+        batch, _ = collate(
+            [oa[0], oc[0]], tok, max_len=400, multiview_channels=4,
+            include_object_maps=True, max_object_vertices=512,
+        )
+        assert batch["obj_p2p"].shape == (2, 4, 64, 64)
+        assert batch["obj_p2v"].shape == (2, 4, 64, 64, 3)
+        assert batch["obj_valid_verts"][1].sum() == 500
+        assert batch["gt_ocontact"][1].sum() > 0
+        # row 0 (oafford) has no p2v -> all invalid
+        assert (batch["obj_p2v"][0] == -1).all()
+
+        task_ids = batch["task_ids"]
+        pred = jnp.full((2, 4, 64, 64), 2.0)  # confident positive logits
+        oA = L.object_afford_3d_loss(
+            jnp.asarray(jnp.ones_like(pred) * 0.8),
+            jnp.asarray(batch["gt_oafford"][:, :2048]),
+            jnp.asarray(batch["obj_p2p"]),
+            jnp.asarray(task_ids == 3),
+        )
+        oC = L.object_contact_3d_loss(
+            pred,
+            jnp.asarray(batch["gt_ocontact"]),
+            jnp.asarray(batch["obj_p2v"]),
+            jnp.asarray(batch["obj_bary"]),
+            jnp.asarray(batch["obj_valid_verts"]),
+            jnp.asarray(task_ids == 4),
+        )
+        assert float(oA) > 0, "oafford 3D loss did not engage"
+        assert float(oC) > 0, "ocontact 3D loss did not engage"
 
 
 class TestVQA:

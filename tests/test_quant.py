@@ -110,3 +110,39 @@ def test_update_kv_cache_int8_placement():
     assert np.allclose(np.asarray(kd[:, :2]), 0.5, atol=0.01)
     assert np.allclose(np.asarray(kd[:, 2:]), 0.0)
     assert np.allclose(np.asarray(vd[:, :2]), -0.5, atol=0.01)
+
+
+def test_int8_dense_weights_serving_path():
+    """A model built with weights_int8=True consumes params converted by
+    int8_serving_params and reproduces the dense model's argmax tokens on
+    the tiny config (bnb-int8 serving parity, reference run_demo.py:106)."""
+    from interactvlm_tpu.utils.weights import int8_serving_params
+
+    cfg = llama_tiny()
+    model = LlamaForCausalLM(cfg)
+    key = jax.random.PRNGKey(0)
+    ids = jax.random.randint(key, (2, 12), 4, cfg.vocab_size)
+    params = model.init(key, ids)
+    dense_logits, _ = model.apply(params, ids)
+
+    import dataclasses
+
+    import flax.linen as nn
+
+    qcfg = dataclasses.replace(cfg, weights_int8=True)
+    qmodel = LlamaForCausalLM(qcfg)
+    qparams = {"params": int8_serving_params(nn.meta.unbox(params["params"]))}
+    # structural check: init structure matches converted structure
+    want = jax.tree_util.tree_structure(
+        nn.meta.unbox(qmodel.init(key, ids))
+    )
+    got = jax.tree_util.tree_structure(qparams)
+    assert want == got
+    q_logits, _ = qmodel.apply(qparams, ids)
+    # int8 quantization keeps the greedy path: same argmax tokens
+    assert (
+        np.asarray(dense_logits.argmax(-1)) == np.asarray(q_logits.argmax(-1))
+    ).mean() > 0.9
+    # and values are close in distribution
+    err = np.abs(np.asarray(q_logits - dense_logits))
+    assert err.mean() < 0.1 * np.abs(np.asarray(dense_logits)).mean() + 0.05
