@@ -38,6 +38,7 @@ from interactvlm_tpu.data.conversations import get_conversation_template
 from interactvlm_tpu.data.transforms import (
     clip_preprocess,
     load_image_rgb,
+    sam_label_preprocess,
     sam_preprocess,
     valid_region_mask,
 )
@@ -156,11 +157,20 @@ class BaseContactDataset:
 
 
 class HContactDataset(BaseContactDataset):
-    """DAMON/LEMON 3D human contact (reference ``datasets/hcontact_3d.py``).
+    """DAMON + LEMON-HU 3D human contact (reference
+    ``datasets/hcontact_3d.py``: ``init_damon_hcontact`` :37-139 and
+    ``init_lemon_hcontact`` :142-195, merged per-source into one dataset).
 
     The canonical Vitruvian-pose renders are fixed and shared across
     samples (loaded once, hcontact_3d.py:268-271); per-sample GT masks are
     projections of the annotated contact vertices.
+
+    LEMON layout (mirroring the reference's path surgery):
+      <root>/lemon/txt_scripts/<split>.txt   image names, one per line;
+                                             class = name before first '_'
+      <root>/lemon/contact/<stem>.pkl        per-vertex contact array (6890,)
+      <root>/lemon/body_parts_<split>.pkl    {stem: [part names]}
+      <root>/lemon/masks/<stem>_<view>.png   per-view GT contact masks
     """
 
     ds_name = "hcontact"
@@ -174,6 +184,7 @@ class HContactDataset(BaseContactDataset):
         parts_dropout: float = 0.3,
         train_fraction: float = 1.0,
         num_vertices: int = 6890,
+        sources: str = "damon",
         **kw,
     ):
         super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
@@ -183,30 +194,65 @@ class HContactDataset(BaseContactDataset):
         self.num_vertices = num_vertices
         folder = join(base_dir, "hcontact_vitruvian_mv2")
         self.folder = folder
-
-        self.contact_annot = _load_pickle(
-            join(folder, "contact_label_objectwise.pkl")
-        )
-        parts_file = join(folder, "body_parts_objectwise.pkl")
-        self.body_parts = (
-            _load_pickle(parts_file) if os.path.exists(parts_file) else {}
-        )
-
+        self.contact_annot = {}
+        self.body_parts = {}
+        self.lemon_contact = {}
+        self.lemon_parts = {}
+        # samples: (source, image_name, obj_key, obj_name)
         self.samples: List[tuple] = []
-        for image_name, objs in sorted(self.contact_annot.items()):
-            for obj_name in sorted(objs):
-                if obj_name == "foot_ground":
-                    obj_name_out = "scene"  # rename (hcontact_3d.py:92-93)
-                else:
-                    obj_name_out = obj_name
-                self.samples.append((image_name, obj_name, obj_name_out))
 
-        if split == "train" and train_fraction < 1.0:
-            # deterministic subsample, seed 42 (hcontact_3d.py:104-126)
-            rng = np.random.default_rng(42)
-            n = max(1, int(len(self.samples) * train_fraction))
-            idx = rng.choice(len(self.samples), size=n, replace=False)
-            self.samples = [self.samples[i] for i in sorted(idx)]
+        if "damon" in sources:
+            self.contact_annot = _load_pickle(
+                join(folder, "contact_label_objectwise.pkl")
+            )
+            parts_file = join(folder, "body_parts_objectwise.pkl")
+            self.body_parts = (
+                _load_pickle(parts_file) if os.path.exists(parts_file)
+                else {}
+            )
+            for image_name, objs in sorted(self.contact_annot.items()):
+                for obj_name in sorted(objs):
+                    if obj_name == "foot_ground":
+                        # rename (hcontact_3d.py:92-93)
+                        obj_name_out = "scene"
+                    else:
+                        obj_name_out = obj_name
+                    self.samples.append(
+                        ("damon", image_name, obj_name, obj_name_out)
+                    )
+
+            if split == "train" and train_fraction < 1.0:
+                # deterministic subsample, seed 42 (hcontact_3d.py:104-126);
+                # applies to DAMON only, like the reference
+                rng = np.random.default_rng(42)
+                n = max(1, int(len(self.samples) * train_fraction))
+                idx = rng.choice(len(self.samples), size=n, replace=False)
+                self.samples = [self.samples[i] for i in sorted(idx)]
+
+        if "lemon" in sources:
+            # LEMON-HU merge (reference init_lemon_hcontact :142-195):
+            # per-image per-vertex contact; zero-contact images skipped
+            lsplit = split if split != "test" else "val"
+            img_list = open(
+                join(base_dir, "lemon", "txt_scripts", f"{lsplit}.txt")
+            ).read().splitlines()
+            parts_file = join(base_dir, "lemon", f"body_parts_{lsplit}.pkl")
+            self.lemon_parts = (
+                _load_pickle(parts_file) if os.path.exists(parts_file)
+                else {}
+            )
+            for image_name in img_list:
+                stem = os.path.splitext(os.path.basename(image_name))[0]
+                contact = np.asarray(
+                    _load_pickle(
+                        join(base_dir, "lemon", "contact", f"{stem}.pkl")
+                    )
+                ).reshape(-1)
+                if contact.nonzero()[0].size == 0:
+                    continue  # reference warns and skips (:167-169)
+                self.lemon_contact[stem] = contact
+                obj_name = os.path.basename(image_name).split("_")[0]
+                self.samples.append(("lemon", image_name, stem, obj_name))
 
         # fixed canonical renders, shared across samples
         render_paths = [
@@ -220,18 +266,37 @@ class HContactDataset(BaseContactDataset):
         return len(self.samples)
 
     def __getitem__(self, idx: int) -> Sample:
-        image_name, obj_key, obj_name = self.samples[idx]
-        contact_ids = np.asarray(
-            self.contact_annot[image_name][obj_key]
-        ).reshape(-1)
+        source, image_name, obj_key, obj_name = self.samples[idx]
+        stem = os.path.splitext(os.path.basename(image_name))[0]
         gt = np.zeros(self.num_vertices, np.float32)
-        gt[contact_ids[contact_ids < self.num_vertices]] = 1.0
+        if source == "damon":
+            contact_ids = np.asarray(
+                self.contact_annot[image_name][obj_key]
+            ).reshape(-1)
+            gt[contact_ids[contact_ids < self.num_vertices]] = 1.0
+            mask_paths = [
+                join(self.folder, "masks", f"{stem}_{obj_key}_{v}.png")
+                for v in self.view_set.names
+            ]
+            parts = None
+            if image_name in self.body_parts and obj_key in self.body_parts[
+                image_name
+            ]:
+                parts = ", ".join(self.body_parts[image_name][obj_key])
+            image_path = join(self.base_dir, "images", image_name)
+        else:  # lemon
+            contact = self.lemon_contact[obj_key][: self.num_vertices]
+            gt[: contact.size] = (contact > 0).astype(np.float32)
+            mask_paths = [
+                join(self.base_dir, "lemon", "masks", f"{stem}_{v}.png")
+                for v in self.view_set.names
+            ]
+            parts = (
+                ", ".join(self.lemon_parts[stem])
+                if stem in self.lemon_parts else None
+            )
+            image_path = join(self.base_dir, image_name)
 
-        stem = os.path.splitext(image_name)[0]
-        mask_paths = [
-            join(self.folder, "masks", f"{stem}_{obj_key}_{v}.png")
-            for v in self.view_set.names
-        ]
         masks = self.load_label_masks(mask_paths, self.valid_regions)
 
         # body-part dropout: with prob p fall back to the simple template
@@ -239,19 +304,12 @@ class HContactDataset(BaseContactDataset):
         qtype = self.question_type
         if qtype == "parts" and self.rng.random() < self.parts_dropout:
             qtype = "simple"
-        parts = None
-        if image_name in self.body_parts and obj_key in self.body_parts[
-            image_name
-        ]:
-            parts = ", ".join(self.body_parts[image_name][obj_key])
         conv, q = self.human_conversation(obj_name, qtype, parts)
 
         return Sample(
-            image_path=join(self.base_dir, "images", image_name),
+            image_path=image_path,
             sam_images=self.sam_images,
-            image_clip=self.load_clip_image(
-                join(self.base_dir, "images", image_name)
-            ),
+            image_clip=self.load_clip_image(image_path),
             conversations=[conv],
             masks=masks,
             label=masks[0],
@@ -279,12 +337,14 @@ class OAffordDataset(BaseContactDataset):
         split: str = "train",
         num_points: int = 2048,
         question_type: str = "simple",
+        object_ranking: str = "openshape",
         **kw,
     ):
         super().__init__(base_dir, OBJECT_VIEWS[view_type], **kw)
         self.split = split
         self.num_points = num_points
         self.question_type = question_type
+        self.object_ranking = object_ranking
         self.folder = join(base_dir, "rendered_points_heatmap")
         index = _load_pickle(join(self.folder, "index.pkl"))
         # index: list of dicts {image, object_id, class_name, affordance}
@@ -309,18 +369,44 @@ class OAffordDataset(BaseContactDataset):
                 idx = self.rng.randrange(len(self.samples))
         raise last
 
+    def _candidates(self, rec) -> List[str]:
+        """Object candidates for one image sample.
+
+        Train mode uses the OpenShape image->mesh retrieval ranking with up
+        to 5 retries over ranked matches, skipping zero-contact or missing
+        entries (reference ocontact_3d.py:179-219 ``object_match``); test
+        mode is the 1:1 assignment (:123-131)."""
+        if self.split == "train" and rec.get("object_matches"):
+            cands = list(rec["object_matches"])[:5]
+            if self.object_ranking == "random":
+                self.rng.shuffle(cands)
+            return cands
+        return [rec["object_id"]]
+
     def _load(self, idx: int) -> Sample:
         rec = self.samples[idx]
-        oid = rec["object_id"]
+        oid = gt = None
+        for cand in self._candidates(rec):
+            gt_path = join(self.folder, "gt", f"{cand}.npz")
+            if not os.path.exists(gt_path):
+                continue
+            g = np.load(gt_path)["affordance"].astype(np.float32)
+            if self.split == "train" and np.count_nonzero(g) == 0:
+                continue  # zero-contact retry (ocontact_3d.py:193-195)
+            if all(os.path.exists(p) for p in self._paths(cand, "renders")):
+                oid, gt = cand, g
+                break
+        if oid is None:
+            raise FileNotFoundError(
+                f"no valid object match for {rec.get('image')}"
+            )
         sam_images, valid, _, resize = self.load_views(
             self._paths(oid, "renders")
         )
         heatmaps = self.load_label_masks(
             self._paths(oid, "heatmaps"), valid, binary=False
         )
-        gt = np.load(join(self.folder, "gt", f"{oid}.npz"))[
-            "affordance"
-        ].astype(np.float32)[: self.num_points]
+        gt = gt[: self.num_points]
         if gt.size < self.num_points:
             gt = np.pad(gt, (0, self.num_points - gt.size))
 
@@ -445,7 +531,7 @@ class HContactSceneDataset(HContactDataset):
         super().__init__(base_dir, **kw)
         # every sample queries the scene
         self.samples = [
-            (img, obj, "scene") for (img, obj, _) in self.samples
+            (src, img, obj, "scene") for (src, img, obj, _) in self.samples
         ]
 
 
@@ -576,7 +662,7 @@ class H2DContactDataset(BaseContactDataset):
             sam_images=sam_img[None],
             image_clip=self.load_clip_image(img_path),
             conversations=[conv],
-            masks=mask[None],
+            masks=sam_label_preprocess(mask, self.image_size)[None],
             label=mask,
             gt_contact_3d=np.zeros(1, np.float32),
             cam_params=np.zeros((1, 5), np.float32),
@@ -672,7 +758,7 @@ class ReferSegDataset(BaseContactDataset):
             sam_images=sam_img[None],
             image_clip=self.load_clip_image(img_path),
             conversations=[conv],
-            masks=mask[None],
+            masks=sam_label_preprocess(mask, self.image_size)[None],
             label=mask,
             gt_contact_3d=np.zeros(1, np.float32),
             cam_params=np.zeros((1, 5), np.float32),
@@ -686,16 +772,25 @@ class ReferSegDataset(BaseContactDataset):
 
 class ValDataset:
     """Validation wrapper: a fixed, ordered pass over one task dataset
-    (reference ``datasets/dataset.py:381-592`` semantics for the contact
-    datasets -- deterministic order, inference flag set)."""
+    (reference ``datasets/dataset.py:381-592`` semantics -- deterministic
+    order AND deterministic prompts, inference flag set).
 
-    def __init__(self, dataset):
+    The underlying dataset's question/answer templates draw from its rng;
+    re-seeding per index makes every validation pass identical, so epoch
+    metrics are comparable (reference val datasets use fixed sentences)."""
+
+    def __init__(self, dataset, seed: int = 42):
         self.dataset = dataset
+        self.seed = seed
+        # validation never drops the parts template
+        if hasattr(dataset, "parts_dropout"):
+            dataset.parts_dropout = 0.0
 
     def __len__(self):
         return len(self.dataset)
 
     def __getitem__(self, idx: int) -> Sample:
+        self.dataset.rng = random.Random(self.seed + idx)
         s = self.dataset[idx]
         return dataclasses.replace(s, inference=True)
 
@@ -780,13 +875,27 @@ class ReasonSegDataset(BaseContactDataset):
                 class_name=sent.lower()
             )
         a = self.rng.choice(C.ANSWER_LIST)
+        # explanatory-QA mix (reference reason_seg_dataset.py:136-180):
+        # 0 = [SEG]-only, 1 = [SEG] + explanation text (question asks for
+        # the explanation), 2 = vanilla text answer without a seg token
+        explanation = rec.get("explanation")
+        if self.explanatory != -1 and explanation:
+            if self.rng.random() < self.explanatory:
+                choice = 2
+            else:
+                choice = self.rng.randint(0, 1)
+            if choice == 1:
+                q = q + " " + self.rng.choice(C.EXPLANATORY_QUESTION_LIST)
+                a = a + " " + explanation
+            elif choice == 2:
+                a = explanation
         conv = build_conversation(q, a, self.conv_type)
         return Sample(
             image_path=img_path,
             sam_images=sam_img[None],
             image_clip=self.load_clip_image(img_path),
             conversations=[conv],
-            masks=mask[None],
+            masks=sam_label_preprocess(mask, self.image_size)[None],
             label=mask,
             gt_contact_3d=np.zeros(1, np.float32),
             cam_params=np.zeros((1, 5), np.float32),
@@ -841,7 +950,7 @@ class SemSegDataset(BaseContactDataset):
             sam_images=sam_img[None],
             image_clip=self.load_clip_image(img_path),
             conversations=[conv],
-            masks=mask[None],
+            masks=sam_label_preprocess(mask, self.image_size)[None],
             label=mask,
             gt_contact_3d=np.zeros(1, np.float32),
             cam_params=np.zeros((1, 5), np.float32),

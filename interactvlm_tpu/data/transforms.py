@@ -68,6 +68,20 @@ def sam_preprocess(img: np.ndarray, img_size: int = 1024):
     return out, (h, w)
 
 
+def sam_label_preprocess(
+    mask: np.ndarray, img_size: int = 1024, ignore: float = -1.0
+) -> np.ndarray:
+    """Binary label (H, W) -> (img_size, img_size) in the SAM frame:
+    longest-side resize + bottom/right pad marked IGNORE. Keeps batched
+    training square for real-photo 2D tasks; eval scores the original frame
+    via ``models/sam/sam.py:postprocess_masks``."""
+    resized = resize_longest_side(mask.astype(np.float32), img_size)
+    h, w = resized.shape[:2]
+    out = np.full((img_size, img_size), ignore, np.float32)
+    out[:h, :w] = (resized >= 0.5).astype(np.float32)
+    return out
+
+
 def clip_preprocess(img: np.ndarray, size: int = 224) -> np.ndarray:
     """RGB uint8 -> CLIP-normalized square (size, size, 3). The HF
     processor center-crops after resizing the short side; canonical inputs

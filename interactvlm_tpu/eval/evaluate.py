@@ -65,9 +65,12 @@ def evaluate_batch(
     object_maps: Optional[Dict] = None,
     eos_id: int = 2,
     kv_cache: str = "dense",
+    meta: Optional[Dict] = None,
 ):
     """Generate-mode inference for one batch. Returns dict with
-    generated_ids, pred_masks (B, V, H, W), pred_contact_3d (B, N)."""
+    generated_ids, pred_masks (B, V, H, W), pred_contact_3d (B, N), and --
+    when ``meta`` carries resize/label lists -- ``pred_masks_original``
+    (per-sample original-frame masks for 2D tasks)."""
     from interactvlm_tpu.models.llava import LlavaModel
 
     input_ids, attn_mask = truncate_at_answer(
@@ -107,6 +110,29 @@ def evaluate_batch(
         jnp.asarray(has_seg)[:, None, None, None], pred_masks, 0.0
     )
 
+    # original-frame masks for real-photo 2D tasks (h2dcontact/refer-seg):
+    # crop the pad then resize to each sample's original size
+    # (reference sam.py:137-172); sizes vary per sample -> host loop.
+    pred_masks_original = None
+    if meta is not None and "resize_list" in meta and "label_list" in meta:
+        from interactvlm_tpu.models.sam.sam import postprocess_masks
+
+        low = model.apply(
+            params, jnp.asarray(seg_hidden), jnp.asarray(token_id),
+            batch["sam_images"], batch["cam_params"], contact_type,
+            method=InteractVLM.low_res_masks_from_seg_hidden,
+        )
+        pred_masks_original = []
+        for b in range(B):
+            orig = np.asarray(meta["label_list"][b]).shape[:2]
+            out = postprocess_masks(
+                low[b : b + 1, :1], cfg.sam.img_size,
+                tuple(meta["resize_list"][b]), tuple(orig),
+            )
+            pred_masks_original.append(
+                np.asarray(out)[0, 0] * float(has_seg[b])
+            )
+
     pred_contact_3d = None
     if "hcontact" in contact_type and human_maps is not None:
         pred_contact_3d = lift_human(
@@ -130,6 +156,7 @@ def evaluate_batch(
     return {
         "generated_ids": gen_ids,
         "pred_masks": np.asarray(pred_masks),
+        "pred_masks_original": pred_masks_original,
         "pred_contact_3d": (
             np.asarray(pred_contact_3d) if pred_contact_3d is not None else None
         ),
@@ -168,9 +195,13 @@ def validate(
     saved = {"imgnames": [], "pred": [], "gt": [], "f1": [], "geo": [],
              "objnames": []}
 
-    is_h = "hcontact" in ds_name
+    is_h = "hcontact" in ds_name and "h2d" not in ds_name
     is_oa = "oafford" in ds_name
     is_oc = "ocontact" in ds_name
+    # real-photo 2D segmentation: score in the ORIGINAL image frame
+    # (reference validate scores postprocessed masks vs the label)
+    is_2d = any(k in ds_name for k in
+                ("h2dcontact", "refer_seg", "reason_seg", "sem_seg"))
 
     for bi, (batch, meta) in enumerate(batch_iter):
         if max_batches is not None and bi >= max_batches:
@@ -181,9 +212,18 @@ def validate(
                 contact_type=ds_name,
                 human_maps=human_maps, object_maps=object_maps,
                 kv_cache=kv_cache,
+                meta=meta if is_2d else None,
             )
             pred_masks = out["pred_masks"]
             pred_3d = out["pred_contact_3d"]
+            if is_2d and out["pred_masks_original"] is not None:
+                for b, pm in enumerate(out["pred_masks_original"]):
+                    gt = np.asarray(meta["label_list"][b])
+                    i, u, acc = M.segmentation_metrics(pm[None], gt[None])
+                    inter_m.update(i)
+                    union_m.update(u)
+                    giou_m.update(acc)
+                continue
         else:
             fwd = model.apply(params, batch)
             pred_masks = np.asarray(fwd["pred_masks"])

@@ -266,6 +266,25 @@ class InteractVLM(nn.Module):
         }
 
     # ------------------------------------------------------------------
+    def low_res_masks_from_seg_hidden(
+        self,
+        seg_hidden,
+        token_id,
+        sam_images,
+        cam_params,
+        domain: Optional[str] = None,
+    ):
+        """Inference tail up to the low-res decoder logits (B, V, 4g, 4g).
+
+        Real-photo 2D tasks (h2dcontact / refer-seg) postprocess these with
+        the crop-pad-then-resize-to-original path (``models/sam/sam.py:
+        postprocess_masks``, reference sam.py:137-172) instead of the square
+        canonical-render resize."""
+        emb = self.text_hidden_fcs(seg_hidden)
+        view_tokens = self.condition_views(emb, cam_params, token_id)
+        image_emb = self.encode_sam_images(sam_images)
+        return self.decode_view_masks(image_emb, view_tokens, domain)
+
     def masks_from_seg_hidden(
         self,
         seg_hidden,
@@ -277,10 +296,9 @@ class InteractVLM(nn.Module):
     ):
         """Inference tail shared by evaluate/demo: one projected seg hidden
         state per sample -> multi-view mask logits at ``mask_size``."""
-        emb = self.text_hidden_fcs(seg_hidden)
-        view_tokens = self.condition_views(emb, cam_params, token_id)
-        image_emb = self.encode_sam_images(sam_images)
-        low_res = self.decode_view_masks(image_emb, view_tokens, domain)
+        low_res = self.low_res_masks_from_seg_hidden(
+            seg_hidden, token_id, sam_images, cam_params, domain
+        )
         return self.upsample_masks(low_res, mask_size)
 
 

@@ -63,12 +63,38 @@ def data_root(tmp_path_factory):
                 m[20:30, 20:30] = 255
                 save_png(join(h, "masks", f"{stem}_{obj}_{v}.png"), m)
 
+    # lemon-hu tree (merged into HContactDataset, hcontact_3d.py:142-195)
+    lm = join(root, "lemon")
+    os.makedirs(join(lm, "txt_scripts"), exist_ok=True)
+    os.makedirs(join(lm, "contact"), exist_ok=True)
+    with open(join(lm, "txt_scripts", "train.txt"), "w") as f:
+        f.write("lemon/Images/chair_0042.jpg\nlemon/Images/bag_0007.jpg\n")
+    save_png(join(root, "lemon", "Images", "chair_0042.jpg"),
+             rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    save_png(join(root, "lemon", "Images", "bag_0007.jpg"),
+             rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    c1 = np.zeros(6890, np.float32)
+    c1[[10, 20, 30]] = 1.0
+    with open(join(lm, "contact", "chair_0042.pkl"), "wb") as f:
+        pickle.dump(c1, f)
+    with open(join(lm, "contact", "bag_0007.pkl"), "wb") as f:
+        pickle.dump(np.zeros(6890, np.float32), f)  # zero contact: skipped
+    with open(join(lm, "body_parts_train.pkl"), "wb") as f:
+        pickle.dump({"chair_0042": ["hips", "leftHand"]}, f)
+    for v in VIEWS_H:
+        m = np.zeros((64, 64), np.uint8)
+        m[30:40, 30:40] = 255
+        save_png(join(lm, "masks", f"chair_0042_{v}.png"), m)
+
     # oafford tree
     o = join(root, "rendered_points_heatmap")
     index = {
         "train": [
             {"image": "img1.jpg", "object_id": "chair_001",
-             "class_name": "Chair", "affordance": "sit"},
+             "class_name": "Chair", "affordance": "sit",
+             # OpenShape ranking: first match is missing on disk -> the
+             # loader must retry down the list (ocontact_3d.py:179-219)
+             "object_matches": ["chair_MISSING", "chair_001"]},
         ],
         "test": [],
     }
@@ -120,6 +146,19 @@ def data_root(tmp_path_factory):
     os.makedirs(join(p, "maps"), exist_ok=True)
     np.savez(join(p, "maps", "mug_007.npz"), p2v=p2v, bary=bary)
 
+    # hcontact_2d tree (DAMON contact projected onto the input image)
+    h2 = join(root, "hcontact_2d")
+    os.makedirs(h2, exist_ok=True)
+    with open(join(h2, "index.pkl"), "wb") as f:
+        pickle.dump(
+            {"train": [{"image": "img1.jpg", "mask": "img1_chair.png",
+                        "class_name": "chair"}],
+             "val": [{"image": "img1.jpg", "mask": "img1_chair.png",
+                      "class_name": "chair"}]}, f)
+    m2 = np.zeros((40, 40), np.uint8)
+    m2[10:25, 8:30] = 255
+    save_png(join(h2, "masks", "img1_chair.png"), m2)
+
     # vqa
     with open(join(root, "vqa.pkl"), "wb") as f:
         pickle.dump(
@@ -145,7 +184,7 @@ class TestHContact:
 
     def test_foot_ground_rename(self, data_root):
         ds = HContactDataset(data_root, image_size=64)
-        names = {s[2] for s in ds.samples}
+        names = {s[3] for s in ds.samples}
         assert "scene" in names and "foot_ground" not in names
 
     def test_train_fraction_subsample(self, data_root):
@@ -154,12 +193,38 @@ class TestHContact:
         )
         assert len(ds) == 1
 
+    def test_lemon_hu_merge(self, data_root):
+        """LEMON-HU merges into the human-contact dataset: per-vertex
+        contact arrays, class from the filename prefix, body parts from the
+        split pkl, zero-contact images skipped (hcontact_3d.py:142-195)."""
+        ds = HContactDataset(
+            data_root, image_size=64, sources="damon||lemon",
+            parts_dropout=0.0,
+        )
+        assert len(ds) == 3  # 2 damon + 1 lemon (bag_0007 zero -> skipped)
+        lemon_idx = [i for i, s in enumerate(ds.samples)
+                     if s[0] == "lemon"]
+        assert len(lemon_idx) == 1
+        s = ds[lemon_idx[0]]
+        assert s.sampled_classes == ["chair"]
+        assert s.gt_contact_3d.sum() == 3
+        assert s.gt_contact_3d[10] == 1.0
+        assert "hips" in s.conversations[0]  # parts template engaged
+        assert s.sam_images.shape == (4, 64, 64, 3)
+
+    def test_lemon_only(self, data_root):
+        ds = HContactDataset(data_root, image_size=64, sources="lemon")
+        assert len(ds) == 1
+
 
 class TestOAfford:
     def test_sample(self, data_root):
         ds = OAffordDataset(data_root, image_size=64)
         assert len(ds) == 1
         s = ds[0]
+        # OpenShape retrieval: the first ranked match (chair_MISSING) does
+        # not exist, so the loader retried down to chair_001
+        assert "chair_001" in s.mask_paths[0]
         assert s.sam_images.shape == (4, 64, 64, 3)
         assert s.gt_contact_3d.shape == (2048,)
         # heatmap labels are continuous in [0,1] with IGNORE outside

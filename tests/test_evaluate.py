@@ -121,3 +121,48 @@ def test_damon_binary_union_logic():
     assert out["f1"] == pytest.approx(1.0)
     # per-image geo takes the max over objects
     assert out["geo"] == pytest.approx((0.3 + 0.0) / 2)
+
+
+def test_original_frame_eval_h2dcontact(tmp_path):
+    """Real-photo 2D eval postprocesses low-res masks to the ORIGINAL image
+    frame (crop pad + resize, reference sam.py:137-172) and scores against
+    the full-resolution label (VERDICT r1 item 6 wiring)."""
+    import os
+    import pickle
+    from os.path import join
+
+    from PIL import Image as _I
+
+    from interactvlm_tpu.data.collate import collate
+    from interactvlm_tpu.data.datasets import H2DContactDataset
+    from interactvlm_tpu.utils.testing import WhitespaceTokenizer
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(0)
+    os.makedirs(join(root, "images"), exist_ok=True)
+    _I.fromarray(
+        rng.integers(0, 255, (40, 52, 3), dtype=np.uint8)
+    ).save(join(root, "images", "pic.jpg"))
+    h2 = join(root, "hcontact_2d")
+    os.makedirs(join(h2, "masks"), exist_ok=True)
+    with open(join(h2, "index.pkl"), "wb") as f:
+        pickle.dump({"train": [{"image": "pic.jpg", "mask": "m.png",
+                                "class_name": "chair"}]}, f)
+    m = np.zeros((40, 52), np.uint8)
+    m[10:25, 8:30] = 255
+    _I.fromarray(m).save(join(h2, "masks", "m.png"))
+
+    cfg = interactvlm_tiny()
+    model = InteractVLM(cfg)
+    ds = H2DContactDataset(root, image_size=cfg.sam.img_size, clip_size=28)
+    tok = WhitespaceTokenizer()
+    batch, meta = collate([ds[0]], tok, max_len=200 + 255,
+                          multiview_channels=4)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    results, _ = validate(
+        [(batch, meta)], model, params, cfg, "h2dcontact",
+        mask_size=cfg.sam.img_size,
+    )
+    # the metric ran in the ORIGINAL 40x52 frame and is finite
+    assert np.isfinite(results["giou"])
+    assert np.isfinite(results["ciou"])
