@@ -164,6 +164,40 @@ def evaluate_batch(
     }
 
 
+def shard_eval_batches(batch_iter, mesh):
+    """Distributed evaluation, TPU-native form.
+
+    The reference shards the val set with a DistributedSampler and
+    all-gathers predictions over NCCL (evaluate.py:202-222,346). Under a
+    single-controller JAX mesh the same thing is SPMD: each global batch's
+    arrays are placed sharded over the ``data`` axis, the jit-compiled model
+    partitions automatically, and host-side numpy reads gather the global
+    result -- so the meter math needs no collective at all.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+
+    def place(batch):
+        def one(leaf):
+            if (
+                hasattr(leaf, "shape") and getattr(leaf, "ndim", 0) > 0
+                and leaf.shape[0] % n_data == 0 and leaf.shape[0] >= n_data
+            ):
+                return jax.device_put(
+                    jnp.asarray(leaf), NamedSharding(mesh, P("data"))
+                )
+            return jax.device_put(
+                jnp.asarray(leaf), NamedSharding(mesh, P())
+            )
+
+        return {k: one(v) for k, v in batch.items()}
+
+    for batch, meta in batch_iter:
+        yield place(batch), meta
+
+
 def validate(
     batch_iter,
     model,
@@ -177,9 +211,13 @@ def validate(
     dist_matrix: Optional[np.ndarray] = None,
     max_batches: Optional[int] = None,
     kv_cache: str = "dense",
+    mesh=None,
 ):
     """Run the eval loop; returns (metrics dict, saved_results for DAMON
-    reports)."""
+    reports). Pass ``mesh`` to shard every batch over the ``data`` axis
+    (distributed eval; see ``shard_eval_batches``)."""
+    if mesh is not None:
+        batch_iter = shard_eval_batches(batch_iter, mesh)
     inter_m = AverageMeter("Intersec", summary_type=Summary.SUM)
     union_m = AverageMeter("Union", summary_type=Summary.SUM)
     giou_m = AverageMeter("gIoU")

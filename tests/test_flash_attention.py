@@ -94,3 +94,32 @@ def test_flash_kv_lengths_gradient():
     gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g, gr):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_gradients_multiblock(causal):
+    """Backward kernels across multiple q- and k-blocks (L=384 = 3 blocks),
+    ragged kv_lengths included."""
+    B, H, L, D = 2, 2, 384, 64
+    q, k, v = (rand((B, H, L, D), 10 + i) for i in range(3))
+    lengths = jnp.asarray([384, 250], jnp.int32)
+
+    def f(q, k, v):
+        out = flash_attention(q, k, v, causal, None, True,
+                              kv_lengths=lengths)
+        w = jnp.arange(L)[None, None, :, None] < lengths[:, None, None, None]
+        return ((out * w) ** 2).sum()
+
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    kpos = jnp.arange(L)[None, :]
+    bias = jnp.where(kpos < lengths[:, None], 0.0, -1e9)[:, None, None, :]
+
+    def fr(q, k, v):
+        out = _xla_attention(q, k, v, bias=bias, causal=causal)
+        w = jnp.arange(L)[None, None, :, None] < lengths[:, None, None, None]
+        return ((out * w) ** 2).sum()
+
+    gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=3e-3), name
