@@ -73,6 +73,7 @@ def parse_args(argv=None):
     p.add_argument("--no_eval", action="store_true")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps")
+    p.add_argument("--no_tensorboard", action="store_true")
     return p.parse_args(argv)
 
 
@@ -302,9 +303,14 @@ def main(argv=None):
         run_dir, {**vars(args), **token_kw}, "pretrained_config.json"
     )
     save_config(run_dir, cfg, "config.json")
-    from interactvlm_tpu.utils.profiling import copy_code_snapshot
+    from interactvlm_tpu.utils.profiling import (
+        MetricLogger,
+        copy_code_snapshot,
+        mask_panel,
+    )
 
     copy_code_snapshot(run_dir)
+    logger = MetricLogger(run_dir, use_tb=not args.no_tensorboard)
 
     n = len(jax.devices())
     n_model = min(args.n_model_shards, n)
@@ -389,6 +395,12 @@ def main(argv=None):
                         print(f"WARNING: non-finite loss at {epoch}:{it}; "
                               "update skipped")
                     lr_now = float(sched(int(state.step)))
+                    logger.log(int(state.step), {
+                        **{k: v for k, v in metrics.items()},
+                        "lr": lr_now,
+                        "train/total_secs_per_batch": batch_time.avg,
+                        "train/data_secs_per_batch": data_time.avg,
+                    })
                     print(
                         f"epoch {epoch} step {it}/{args.steps_per_epoch} "
                         f"loss {loss:.4f} lr {lr_now:.2e} "
@@ -402,11 +414,26 @@ def main(argv=None):
                     val_fn = make_validator(args, cfg, model, tokenizer,
                                             first_micro)
                 score, vres = val_fn(state.params)
+                logger.log(int(state.step),
+                           {f"val/{k}": v for k, v in vres.items()})
+                # image panel: CLIP | SAM view | pred | GT on one sample
+                # (reference utils/utils.py:457-470)
+                fwd = jax.jit(model.apply)(state.params, first_micro)
+                logger.log_images(
+                    int(state.step), "val/panel",
+                    mask_panel(
+                        np.asarray(first_micro["images_clip"][0]),
+                        np.asarray(first_micro["sam_images"][0, 0]),
+                        np.asarray(fwd["pred_masks"][0, 0]),
+                        np.asarray(first_micro["gt_masks"][0, 0]),
+                    ),
+                )
                 print(f"epoch {epoch} val: "
                       + " ".join(f"{k}={v:.4f}" for k, v in vres.items()))
                 if ckpt.save_best(int(state.step), state, score):
                     print(f"new best at step {int(state.step)}: {score:.4f}")
 
+    logger.close()
     print("training done")
     return state
 

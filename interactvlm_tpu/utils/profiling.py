@@ -101,10 +101,47 @@ class MetricLogger:
         if self.wandb is not None:
             self.wandb.log(rec, step=step)
 
+    def log_images(self, step: int, tag: str, image):
+        """Log one (H, W, 3) float [0,1] image panel to TensorBoard
+        (reference image panels, utils/utils.py:457-470)."""
+        if self.tb is not None:
+            import numpy as _np
+
+            arr = _np.clip(_np.asarray(image, _np.float32), 0.0, 1.0)
+            self.tb.add_image(tag, arr, step, dataformats="HWC")
+
     def close(self):
         self._f.close()
         if self.tb is not None:
             self.tb.close()
+
+
+def mask_panel(clip_img, sam_img, pred_mask, gt_mask):
+    """Concatenate CLIP image | SAM view | predicted mask | GT mask into one
+    horizontal panel (the reference's TB image layout,
+    utils/utils.py:457-470). Inputs are numpy arrays; masks are logits/
+    labels and get normalized to [0, 1] grayscale RGB."""
+    import numpy as np
+
+    def to_rgb01(x):
+        x = np.asarray(x, np.float32)
+        if x.ndim == 2:
+            x = x[..., None].repeat(3, axis=-1)
+        lo, hi = x.min(), x.max()
+        return (x - lo) / (hi - lo + 1e-8)
+
+    h = min(
+        np.asarray(a).shape[0] for a in (clip_img, sam_img, pred_mask, gt_mask)
+    )
+
+    def fit(x):
+        x = to_rgb01(x)
+        s = x.shape[0] // h
+        return x[::s, ::s][:h, :h] if s > 1 else x[:h, :h]
+
+    return np.concatenate(
+        [fit(clip_img), fit(sam_img), fit(pred_mask), fit(gt_mask)], axis=1
+    )
 
 
 def copy_code_snapshot(run_dir: str, repo_root: str = None):
