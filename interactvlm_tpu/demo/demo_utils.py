@@ -37,23 +37,42 @@ def normalize_mesh(verts: np.ndarray):
     return (v / max(scale, 1e-8)).astype(np.float32), c, scale
 
 
-def shaded_render(verts, faces, pix_to_face, light_dir=(0.3, 0.4, 0.8)):
-    """Simple Lambertian grey render from a rasterization (the demo's
-    grey object views)."""
+def shaded_render(verts, faces, pix_to_face, p2v=None, bary=None,
+                  light_dir=(0.3, 0.4, 0.8), specular: float = 0.25,
+                  shininess: float = 24.0):
+    """Grey render of a rasterization (the demo's object views; reference
+    HardPhongShader renders, demo_utils.py:171-257).
+
+    With per-pixel vertex/bary maps (from ``build_lift_maps``) normals are
+    barycentric-interpolated per pixel — smooth Phong with a specular lobe;
+    without them it falls back to flat per-face Lambert."""
     normals = np.asarray(
         compute_vertex_normals(jnp.asarray(verts), jnp.asarray(faces))
     )
-    face_n = normals[np.asarray(faces)].mean(1)
-    face_n /= np.maximum(
-        np.linalg.norm(face_n, axis=1, keepdims=True), 1e-8
-    )
     light = np.asarray(light_dir, np.float32)
     light /= np.linalg.norm(light)
-    shade = 0.35 + 0.65 * np.clip(face_n @ light, 0, 1)
     p2f = np.asarray(pix_to_face)
     img = np.ones(p2f.shape + (3,), np.float32)
     hit = p2f >= 0
-    img[hit] = shade[p2f[hit], None]
+    if p2v is not None and bary is not None:
+        p2v = np.asarray(p2v)[hit]          # (P, 3) vertex ids
+        w = np.asarray(bary)[hit]           # (P, 3)
+        n = (normals[p2v] * w[..., None]).sum(1)
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-8)
+        # two-sided; view direction is +z toward the camera in view space
+        n[n[:, 2] < 0] *= -1.0
+        lam = np.clip(n @ light, 0, 1)
+        refl = 2.0 * lam[:, None] * n - light[None]
+        spec = np.clip(refl[:, 2], 0, 1) ** shininess
+        shade = 0.35 + 0.55 * lam + specular * spec
+        img[hit] = np.clip(shade, 0, 1)[:, None]
+    else:
+        face_n = normals[np.asarray(faces)].mean(1)
+        face_n /= np.maximum(
+            np.linalg.norm(face_n, axis=1, keepdims=True), 1e-8
+        )
+        shade = 0.35 + 0.65 * np.clip(face_n @ light, 0, 1)
+        img[hit] = shade[p2f[hit], None]
     return (img * 255).astype(np.uint8)
 
 
@@ -79,7 +98,7 @@ def generate_sam_inp_objs(
     )
     render_paths = []
     for i, name in enumerate(view_set.names):
-        img = shaded_render(nverts, faces, p2f[i])
+        img = shaded_render(nverts, faces, p2f[i], p2v=p2v[i], bary=bary[i])
         path = join(out_dir, f"{name}.png")
         Image.fromarray(img).save(path)
         render_paths.append(path)

@@ -119,18 +119,22 @@ def main(argv=None):
     ap.add_argument("--image_size", type=int, default=512)
     ap.add_argument("--no_icp", action="store_true")
     ap.add_argument("--no_scale", action="store_true")
+    ap.add_argument("--save_video", action="store_true",
+                    help="write fit_trajectory.gif (Phong overlay per step)")
     args = ap.parse_args(argv)
 
     scene = load_fit_inputs(args.input_path)
+    out_dir = args.output_path or args.input_path
+    os.makedirs(out_dir, exist_ok=True)
     best, diag = fit_human_object(
         scene,
         num_steps=args.num_steps,
         image_size=args.image_size,
         use_icp=not args.no_icp,
         optimize_scale=not args.no_scale,
+        video_path=(os.path.join(out_dir, "fit_trajectory.gif")
+                    if args.save_video else None),
     )
-    out_dir = args.output_path or args.input_path
-    os.makedirs(out_dir, exist_ok=True)
     final_obj = apply_transformation(
         jnp.asarray(scene["obj_verts"]), best.rot6d, best.translation,
         jnp.exp(best.log_scale),

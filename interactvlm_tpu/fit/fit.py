@@ -93,6 +93,8 @@ def fit_human_object(
     use_icp: bool = True,
     optimize_scale: bool = True,
     contact_threshold: float = 0.5,
+    video_path: Optional[str] = None,
+    video_every: int = 10,
 ):
     """End-to-end fit. ``scene`` keys (host numpy or jnp):
     obj_verts, obj_faces, hum_verts, hum_faces, obj_contact_probs,
@@ -147,13 +149,77 @@ def fit_human_object(
         translation=t0,
         log_scale=jnp.log(jnp.maximum(s0, 1e-4)),
     )
-    best_params, best_loss, loss_hist = run_fit(
+    best_params, best_loss, loss_hist, params_hist = run_fit(
         init_params, scene, weights,
         num_steps=num_steps, image_size=image_size,
         optimize_scale=optimize_scale,
     )
-    return best_params, {
+    diagnostics = {
         "best_loss": best_loss,
         "loss_history": loss_hist,
         "init_params": init_params,
+        "params_history": params_hist,
     }
+    if video_path is not None:
+        save_fit_video(
+            scene, params_hist, video_path,
+            image_size=image_size, every=video_every,
+        )
+        diagnostics["video_path"] = video_path
+    return best_params, diagnostics
+
+
+def save_fit_video(
+    scene: Dict,
+    params_hist: FitParams,
+    path: str,
+    image_size: int = 512,
+    every: int = 10,
+    duration_ms: int = 80,
+):
+    """Animated GIF of the fit trajectory (reference HPRenderer fit-video
+    logging, ``optim/fit.py`` / ``optim/renderer.py:104-156``): the
+    Phong-shaded object at step k composited over the target mask (red)."""
+    from PIL import Image
+
+    from interactvlm_tpu.fit.renderer import render_phong
+    from interactvlm_tpu.fit.utils import apply_transformation
+
+    target = np.asarray(scene["target_mask"], np.float32)
+    if target.shape[0] != image_size:
+        ys = (np.arange(image_size) * target.shape[0] / image_size).astype(int)
+        xs = (np.arange(image_size) * target.shape[1] / image_size).astype(int)
+        target = target[ys][:, xs]
+    bg = np.zeros((image_size, image_size, 3), np.float32)
+    bg[..., 0] = 0.55 * target  # target mask in red
+
+    n_steps = int(np.asarray(params_hist.translation).shape[0])
+    idxs = list(range(0, n_steps, max(1, every)))
+    if idxs[-1] != n_steps - 1:
+        idxs.append(n_steps - 1)
+
+    off = scene["centroid_offset"]
+    frames = []
+    for i in idxs:
+        p = FitParams(
+            rot6d=params_hist.rot6d[i],
+            translation=params_hist.translation[i],
+            log_scale=params_hist.log_scale[i],
+        )
+        v = apply_transformation(
+            scene["obj_verts"], p.rot6d, p.translation, jnp.exp(p.log_scale)
+        )
+        rgba = np.asarray(render_phong(
+            v + off, scene["obj_faces"], scene["focal"], scene["princpt"],
+            image_size,
+        ), np.float32)
+        a = rgba[..., 3:4] * 0.85
+        frame = bg * (1 - a) + rgba[..., :3] * a
+        frames.append(
+            Image.fromarray((np.clip(frame, 0, 1) * 255).astype(np.uint8))
+        )
+    frames[0].save(
+        path, save_all=True, append_images=frames[1:],
+        duration=duration_ms, loop=0,
+    )
+    return path

@@ -165,10 +165,10 @@ def run_fit(
         best_params = jax.tree.map(
             lambda b, p: jnp.where(better, p, b), best_params, params
         )
-        return (params, opt_state, best_loss, best_params), loss
+        return (params, opt_state, best_loss, best_params), (loss, params)
 
     init = (init_params, opt_state, jnp.float32(jnp.inf), init_params)
-    (params, _, best_loss, best_params), loss_hist = jax.lax.scan(
-        step_fn, init, jnp.arange(num_steps)
+    (params, _, best_loss, best_params), (loss_hist, params_hist) = (
+        jax.lax.scan(step_fn, init, jnp.arange(num_steps))
     )
-    return best_params, best_loss, loss_hist
+    return best_params, best_loss, loss_hist, params_hist

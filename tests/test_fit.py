@@ -139,6 +139,57 @@ class TestRenderer:
         assert float(jnp.abs(g).sum()) > 0
 
 
+    def test_phong_render_shading(self):
+        from interactvlm_tpu.fit.renderer import render_phong
+
+        verts, faces = uv_sphere(n_lat=12, n_lon=16, radius=0.5)
+        verts = verts + np.array([0, 0, 3.0], np.float32)
+        verts = -verts * np.array([1, 1, -1], np.float32)  # flip convention
+        S = 64
+        img = np.asarray(render_phong(
+            jnp.asarray(verts), jnp.asarray(faces),
+            (80.0, 80.0), (S / 2, S / 2), S,
+        ))
+        assert img.shape == (S, S, 4)
+        alpha = img[..., 3]
+        assert 0.05 < alpha.mean() < 0.9  # sphere covers part of the frame
+        # shading varies across the surface (not flat)
+        lit = img[..., :3][alpha > 0]
+        assert lit.std() > 0.02
+        # background is exactly black / alpha 0
+        assert img[..., :3][alpha == 0].max() == 0.0
+
+    def test_save_fit_video(self, tmp_path):
+        from interactvlm_tpu.fit.fit import save_fit_video
+        from interactvlm_tpu.fit.utils import matrix_to_rot6d as m2r
+
+        verts, faces = uv_sphere(n_lat=8, n_lon=10, radius=0.4)
+        n_steps = 7
+        # params move each step so the GIF frames differ (PIL merges
+        # identical consecutive frames)
+        hist = FitParams(
+            rot6d=jnp.tile(m2r(jnp.eye(3))[None], (n_steps, 1)),
+            translation=jnp.stack([
+                jnp.asarray([0.1 * i, 0.0, 3.0]) for i in range(n_steps)
+            ]),
+            log_scale=jnp.zeros((n_steps,)),
+        )
+        scene = {
+            "obj_verts": jnp.asarray(verts),
+            "obj_faces": jnp.asarray(faces),
+            "target_mask": jnp.zeros((64, 64)).at[20:40, 20:40].set(1.0),
+            "focal": jnp.asarray([80.0, 80.0]),
+            "princpt": jnp.asarray([32.0, 32.0]),
+            "centroid_offset": jnp.zeros(3),
+        }
+        out = str(tmp_path / "fit.gif")
+        save_fit_video(scene, hist, out, image_size=64, every=3)
+        from PIL import Image
+
+        im = Image.open(out)
+        assert im.n_frames == 3  # steps 0, 3, 6 (6 is already the last)
+
+
 class TestFitLoop:
     def test_contact_and_iou_losses(self):
         o = jnp.zeros((4, 3))
@@ -180,7 +231,7 @@ class TestFitLoop:
             centroid_w=0.0, centroid_kick_in=-1,
             contact_w=1.0, contact_kick_in=0,
         )
-        best, best_loss, hist = run_fit(
+        best, best_loss, hist, _ = run_fit(
             init, scene, w, num_steps=150, image_size=64,
         )
         assert float(hist[-1]) < float(hist[0]) * 0.5
