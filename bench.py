@@ -151,7 +151,7 @@ def main():
     wq = os.environ.get("BENCH_WQ", "int8" if on_tpu else "bf16")
     kv_kind = os.environ.get("BENCH_KV", "dense")
     V = int(os.environ.get("BENCH_VIEWS", "4"))
-    B = int(os.environ.get("BENCH_BATCH", "2"))
+    B = int(os.environ.get("BENCH_BATCH", "4" if on_tpu else "2"))
     T = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
     L_TEXT = int(os.environ.get("BENCH_PROMPT", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
@@ -217,26 +217,36 @@ def main():
 
     # realistic lift maps: rasterize a canonical body-like mesh under the
     # real Vitruvian cameras, invert to gather form (scatters serialize on
-    # TPU, gathers do not). Built FIRST: the rasterizer's intermediate
-    # gathers need HBM that the 7B weights will occupy afterwards.
+    # TPU, gathers do not). Built on the HOST CPU backend: the rasterizer
+    # is a one-off setup step, and through the axon tunnel its many
+    # dispatches cost ~8 minutes vs seconds locally.
     verts, faces = _sphere()
     n_verts = len(verts)
     view_cams = HUMAN_VIEWS["4MV-Z_Vitru_mv2"].cam_params()[:V]
     win = max(pick_window(verts, faces, c, mask_size) for c in view_cams)
     t0 = time.perf_counter()
-    p2v, bary, _ = build_lift_maps(
-        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(view_cams),
-        mask_size, win,
-    )
-    gidx, gw = build_gather_maps(
-        np.asarray(p2v), np.asarray(bary), n_verts, max_k=256
-    )
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        p2v, bary, _ = build_lift_maps(
+            jax.device_put(verts, cpu0), jax.device_put(faces, cpu0),
+            jax.device_put(np.asarray(view_cams), cpu0), mask_size, win,
+        )
+        gidx, gw = build_gather_maps(
+            np.asarray(p2v), np.asarray(bary), n_verts, max_k=256
+        )
     gidx, gw = jnp.asarray(gidx), jnp.asarray(gw)
     del p2v, bary
     log(f"lift maps {time.perf_counter() - t0:.1f}s")
 
+    from interactvlm_tpu.utils.weights import cast_serving_params
+
     t0 = time.perf_counter()
     llava_params = jax.jit(llava.init)(key, ids, clip_px)
+    # store weights in the compute dtype ONCE: leaving them f32 makes flax
+    # re-cast every param at every use (cast buffers OOM'd batch 4)
+    llava_params = jax.jit(
+        lambda p: cast_serving_params(p, dtype)
+    )(llava_params)
     log(f"llava init {time.perf_counter() - t0:.1f}s")
 
     def tail_init(key, seg_hidden, token_id, sam_px1, cams1):
@@ -247,6 +257,9 @@ def main():
     tok0 = jnp.full((1,), seg_idx, jnp.int32)
     t0 = time.perf_counter()
     tail_params = jax.jit(tail_init)(key, seg_h0, tok0, sam_px[:1], cams[:1])
+    tail_params = jax.jit(
+        lambda p: cast_serving_params(p, dtype)
+    )(tail_params)
     log(f"tail init {time.perf_counter() - t0:.1f}s")
 
     def e2e(llava_params, tail_params, ids, attn_mask, clip_px, sam_px,

@@ -133,6 +133,13 @@ def main(argv=None):
             join(args.model_dir, "pytorch_model.bin")
         )
         params = {"params": convert_interactvlm_checkpoint(sd, cfg)}
+    if cfg.llama.dtype != jnp.float32:
+        # one-time cast to the serving dtype (f32 storage re-casts per use)
+        from interactvlm_tpu.utils.weights import cast_serving_params
+
+        params = jax.jit(
+            lambda p: cast_serving_params(p, cfg.llama.dtype)
+        )(params)
 
     V = cfg.multiview_channels
     S = cfg.sam.img_size

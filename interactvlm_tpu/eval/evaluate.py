@@ -497,6 +497,14 @@ def main(argv=None):
             quantize_params_int8(params, filter_fn=_llama_kernels),
             dtype=cfg.llama.dtype,
         )
+    if cfg.llama.dtype != jnp.float32:
+        # store weights in the serving dtype once; f32 storage makes flax
+        # re-cast every param at every use (see utils/weights.py)
+        from interactvlm_tpu.utils.weights import cast_serving_params
+
+        params = jax.jit(
+            lambda p: cast_serving_params(p, cfg.llama.dtype)
+        )(params)
 
     if args.synthetic:
         def batches():

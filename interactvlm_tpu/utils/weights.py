@@ -330,6 +330,33 @@ def int8_serving_params(params: Dict, targets=_INT8_TARGETS) -> Dict:
     return walk("", params)
 
 
+def cast_serving_params(params: Dict, dtype) -> Dict:
+    """Cast float32 param leaves to the serving compute dtype (bf16), ONCE.
+
+    flax's ``promote_dtype`` otherwise re-casts every f32 param at every
+    use inside the compiled graph — each cast is a live HBM buffer that
+    doubles weight memory (observed OOM at batch 4 on one v5e chip) and
+    adds a full weight-read of bandwidth per layer. Int8 kernels and their
+    quantization scales (``kernel_scale``/``scale``, which must stay f32
+    for accumulation accuracy) are left untouched.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def walk(name, node):
+        if isinstance(node, dict):
+            return {k: walk(k, v) for k, v in node.items()}
+        if (
+            hasattr(node, "dtype")
+            and node.dtype == jnp.float32
+            and "scale" not in name
+        ):
+            return jax.tree.map(lambda x: x.astype(dtype), node)
+        return node
+
+    return walk("", params)
+
+
 # --------------------------------------------------------------------------
 def load_torch_state_dict(path: str) -> Dict:
     """Load a .pth/.bin/.safetensors state dict to numpy."""

@@ -272,6 +272,30 @@ class TestSAMConversion:
         assert np.isfinite(np.asarray(masks)).all()
 
 
+def test_cast_serving_params_dtypes():
+    """f32 leaves cast once to bf16; int8 kernels and quantization scales
+    stay untouched (they must remain int8 / f32)."""
+    from interactvlm_tpu.utils.weights import cast_serving_params
+
+    tree = {
+        "dense": {"kernel": jnp.ones((4, 4), jnp.float32),
+                  "bias": jnp.ones((4,), jnp.float32)},
+        "int8_dense": {"kernel_q": jnp.ones((4, 4), jnp.int8),
+                       "kernel_scale": jnp.ones((1, 4), jnp.float32)},
+        "quantized": {"kernel": {"q": jnp.ones((4, 4), jnp.int8),
+                                 "scale": jnp.ones((1, 4), jnp.float32)}},
+        "ids": jnp.zeros((3,), jnp.int32),
+    }
+    out = cast_serving_params(tree, jnp.bfloat16)
+    assert out["dense"]["kernel"].dtype == jnp.bfloat16
+    assert out["dense"]["bias"].dtype == jnp.bfloat16
+    assert out["int8_dense"]["kernel_q"].dtype == jnp.int8
+    assert out["int8_dense"]["kernel_scale"].dtype == jnp.float32
+    assert out["quantized"]["kernel"]["q"].dtype == jnp.int8
+    assert out["quantized"]["kernel"]["scale"].dtype == jnp.float32
+    assert out["ids"].dtype == jnp.int32
+
+
 def test_conv_transpose_convention():
     """The torch ConvTranspose2d -> flax ConvTranspose mapping must be
     numerically exact (kernel 2, stride 2, the SAM upscaler shape)."""
