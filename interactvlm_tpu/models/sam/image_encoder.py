@@ -120,19 +120,30 @@ class Attention(nn.Module):
                 nn.initializers.zeros,
                 (2 * self.input_size[1] - 1, head_dim),
             )
+            import os
+
             from interactvlm_tpu.ops import use_pallas_default
             from interactvlm_tpu.ops.sam_attention import (
                 BLOCK_K,
                 fused_rel_attention,
+                fused_window_attention,
             )
 
             # global 64x64 blocks on TPU use the fused flash kernel (the
             # naive bias would materialize (HW)^2 ~ 4GB); the small 14x14
-            # windows measure FASTER through plain XLA (the fused kernel's
-            # per-window grid programs are too small to amortize), so they
-            # keep the reference path.
+            # windows use the single-block window kernel with all heads
+            # looped per program (the XLA path's HBM-materialized bias +
+            # f32 logits measured ~10x the FLOP cost, scripts/sam_probe.py;
+            # IVLM_WINDOW_ATTN=xla restores the reference path for A/B).
             if use_pallas_default() and H * W >= 1024:
                 out = fused_rel_attention(
+                    q, k, v, rel_pos_h, rel_pos_w, (H, W)
+                )
+            elif (
+                use_pallas_default()
+                and os.environ.get("IVLM_WINDOW_ATTN", "pallas") != "xla"
+            ):
+                out = fused_window_attention(
                     q, k, v, rel_pos_h, rel_pos_w, (H, W)
                 )
             else:

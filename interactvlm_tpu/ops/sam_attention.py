@@ -112,6 +112,133 @@ def _grid_pad_width(W: int) -> int:
     return BLOCK_K
 
 
+def _window_kernel(q_ref, k_ref, v_ref, f_ref, o_ref, *, lk, scale, W, nH):
+    """Single-block attention over one window batch-row, all heads unrolled
+    in-program.
+
+    q/k/v_ref: (1, nH, Lg, Dp); f_ref: (1, nH, Fp, Lg) f32 combined bias
+    factors -- rows [0, H) hold rel_h[kh, q], rows [Hq, Hq+W) hold
+    rel_w^T[kw, q] (zero elsewhere); o_ref: (1, nH, Lg, Dp). Lg >= lk is
+    the padded token count.
+
+    The 14x14 SAM windows are short enough that the whole (Lg, Lg) logits
+    tile lives in VMEM -- no flash streaming, one softmax. The decomposed
+    rel-pos bias is reconstructed from the stacked factors with ONE
+    expansion matmul:
+
+      bias[q, c] = rel_h[c // W, q] + rel_w[q, c % W]
+                 = sum_j f[j, q] * E[j, c],
+      E[j, c] = (c // W == j) for j < Hq ; (c % W == j - Hq) for j >= Hq.
+
+    Heads are a static Python loop (static slices pipeline on Mosaic where
+    a fori_loop's dynamic slices measured ~4x slower). The XLA path
+    materializes the (B*nW, nH, L, L) bias + f32 logits in HBM, which
+    measured ~10x the attention's FLOP cost on a v5e
+    (scripts/winattn_probe.py).
+    """
+    Lg = q_ref.shape[2]
+    Fp = f_ref.shape[2]
+    Hq = Fp // 2
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (Fp, Lg), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Fp, Lg), 0)
+    e = jnp.where(
+        row < Hq, (col // W == row).astype(jnp.float32),
+        (col % W == row - Hq).astype(jnp.float32),
+    )  # (Fp, Lg)
+
+    k_col = jax.lax.broadcasted_iota(jnp.int32, (Lg, Lg), 1)
+    valid = k_col < lk
+
+    for h in range(nH):
+        q = q_ref[0, h]  # (Lg, Dp) input dtype -> full-rate MXU
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        f = f_ref[0, h]  # (Fp, Lg)
+        s = s + jax.lax.dot_general(
+            f, e, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        l = jnp.where(l == 0.0, 1.0, l)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+def fused_window_attention(q, k, v, rel_pos_h, rel_pos_w, hw,
+                           interpret=False):
+    """Fused short-window attention with decomposed rel-pos bias.
+
+    q, k, v: (BW, nH, L, D) with L = H*W row-major over an (H, W) window
+    (BW = batch * num_windows); rel_pos_h/w: (2H-1, D) / (2W-1, D) tables.
+    Returns (BW, nH, L, D). Reference semantics: ``add_decomposed_rel_pos``
+    (image_encoder.py:354-392). One grid program per window batch-row.
+    """
+    H, W = hw
+    BW, nH, L, D = q.shape
+    assert L == H * W
+    scale = D ** -0.5
+
+    Lg = ((L + 7) // 8) * 8  # f32 sublane tile
+    Dp = max(128, ((D + 127) // 128) * 128)
+    Hq = ((max(H, W) + 7) // 8) * 8  # factor-row split point
+    Fp = 2 * Hq
+
+    Rh = _rel_tables(rel_pos_h, H)  # (H, H, D)
+    Rw = _rel_tables(rel_pos_w, W)
+    qf = q.astype(jnp.float32)
+    r_q = qf.reshape(BW, nH, H, W, D)
+    # factors: rel_h[b,n,kh,(h,w)]; rel_w[b,n,kw,(h,w)] -- stacked so the
+    # kernel reconstructs the full bias with ONE expansion matmul
+    rel_h = jnp.einsum("bnhwc,hkc->bnkhw", r_q, Rh).reshape(BW, nH, H, L)
+    rel_w = jnp.einsum("bnhwc,wkc->bnkhw", r_q, Rw).reshape(BW, nH, W, L)
+    factors = jnp.concatenate(
+        [_pad_to(rel_h, Hq, 2), _pad_to(rel_w, Hq, 2)], axis=2
+    )
+    factors = _pad_to(factors, Lg, 3)
+
+    qp = _pad_to(_pad_to(q, Lg, 2), Dp, 3)
+    kp = _pad_to(_pad_to(k, Lg, 2), Dp, 3)
+    vp = _pad_to(_pad_to(v, Lg, 2), Dp, 3)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _window_kernel, lk=L, scale=scale, W=W, nH=nH
+        ),
+        grid=(BW,),
+        in_specs=[
+            pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nH, Fp, Lg), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BW, nH, Lg, Dp), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BW * nH * Lg * Lg * Dp,
+            bytes_accessed=BW * nH * Lg * Dp * 4 * 2,
+            transcendentals=BW * nH * Lg * Lg,
+        ),
+    )(qp, kp, vp, factors)
+    return out[:, :, :L, :D]
+
+
 def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):
     """Flash attention with decomposed rel-pos for (H, W) token grids.
 

@@ -57,9 +57,28 @@ def main():
     from interactvlm_tpu.models.sam import image_encoder as ie_mod
 
     orig_attention = ie_mod.Attention
+    orig_mlp = ie_mod.MLPBlock
 
     for name in variants:
         cfg = base
+        ie_mod.MLPBlock = orig_mlp
+        if name == "gelutanh":
+            import flax.linen as nn
+
+            class _TanhMLP(nn.Module):
+                mlp_dim: int
+                out_dim: int
+                dtype: jnp.dtype = jnp.float32
+
+                @nn.compact
+                def __call__(self, x):
+                    x = nn.Dense(self.mlp_dim, dtype=self.dtype,
+                                 name="lin1")(x)
+                    x = nn.gelu(x, approximate=True)
+                    return nn.Dense(self.out_dim, dtype=self.dtype,
+                                    name="lin2")(x)
+
+            ie_mod.MLPBlock = _TanhMLP
         if name == "norel":
             ie_mod.Attention = functools.partial(
                 orig_attention, use_rel_pos=False
@@ -85,6 +104,12 @@ def main():
             ie_mod.Attention = orig_attention
         enc = ImageEncoderViT(cfg)
         params = jax.jit(enc.init)(key, x[:1])
+        if on_tpu:
+            from interactvlm_tpu.utils.weights import cast_serving_params
+
+            params = jax.jit(
+                lambda p: cast_serving_params(p, dtype)
+            )(params)
 
         def run(params, x):
             def body(i, acc):

@@ -1,0 +1,124 @@
+"""Micro-probe: one window-attention layer op at ViT-H shapes on the real
+chip. Variants isolate kernel vs rel-pos factor einsums vs the XLA path.
+
+Usage: python scripts/winattn_probe.py [xla kernel kernel_nofactors qkvproj]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    from interactvlm_tpu.models.sam.image_encoder import (
+        decomposed_rel_pos_bias,
+    )
+    from interactvlm_tpu.ops.attention import _xla_attention
+    from interactvlm_tpu.ops import sam_attention as sa
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    BW = int(os.environ.get("PROBE_BW", "200"))  # 8 images x 25 windows
+    nH, H, W, D = 16, 14, 14, 80
+    L = H * W
+    iters = int(os.environ.get("PROBE_ITERS", "10"))
+    variants = sys.argv[1:] or ["xla", "kernel", "kernel_nofactors"]
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (BW, nH, L, D), dtype)
+    k = jax.random.normal(key, (BW, nH, L, D), dtype)
+    v = jax.random.normal(key, (BW, nH, L, D), dtype)
+    rh = (jax.random.normal(key, (2 * H - 1, D), jnp.float32) * 0.5)
+    rw = (jax.random.normal(key, (2 * W - 1, D), jnp.float32) * 0.5)
+
+    def run_xla(q, k, v):
+        bias = decomposed_rel_pos_bias(
+            q, rh.astype(q.dtype), rw.astype(q.dtype), (H, W)
+        )
+        return _xla_attention(q, k, v, bias=bias, scale=D ** -0.5)
+
+    def run_kernel(q, k, v):
+        return sa.fused_window_attention(q, k, v, rh, rw, (H, W))
+
+    def run_kernel_nofactors(q, k, v):
+        # zero factors built without the einsums: isolates pallas_call cost
+        Lg, Dp, Fp = 224, 128, 32
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        factors = jnp.zeros((BW, nH, Fp, Lg), jnp.float32)
+        qp = sa._pad_to(sa._pad_to(q, Lg, 2), Dp, 3)
+        kp = sa._pad_to(sa._pad_to(k, Lg, 2), Dp, 3)
+        vp = sa._pad_to(sa._pad_to(v, Lg, 2), Dp, 3)
+        out = pl.pallas_call(
+            functools.partial(
+                sa._window_kernel, lk=L, scale=D ** -0.5, W=W, nH=nH
+            ),
+            grid=(BW,),
+            in_specs=[
+                pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 3 + [
+                pl.BlockSpec((1, nH, Fp, Lg), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((BW, nH, Lg, Dp), q.dtype),
+        )(qp, kp, vp, factors)
+        return out[:, :, :L, :D]
+
+    def run_qkvproj(q, k, v):
+        # two (BW*L, 1280)x(1280, 3840/1280) matmuls: the block's non-attn
+        # matmul cost at the same shapes, for scale
+        w1 = jnp.ones((nH * D, 3 * nH * D), dtype)
+        w2 = jnp.ones((nH * D, nH * D), dtype)
+        x = q.transpose(0, 2, 1, 3).reshape(BW * L, nH * D)
+        y = (x @ w1)[:, : nH * D]
+        return (y @ w2).reshape(BW, L, nH, D).transpose(0, 2, 1, 3)
+
+    fns = {
+        "xla": run_xla,
+        "kernel": run_kernel,
+        "kernel_nofactors": run_kernel_nofactors,
+        "qkvproj": run_qkvproj,
+    }
+
+    for name in variants:
+        f = fns[name]
+
+        def run(q, k, v):
+            def body(i, acc):
+                out = f(q + acc * 1e-6, k, v)
+                return out.mean().astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        fn = jax.jit(run)
+        t0 = time.perf_counter()
+        out = fn(q, k, v)
+        float(np.asarray(jax.device_get(out)))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = fn(q, k, v)
+        float(np.asarray(jax.device_get(out)))
+        dt = (time.perf_counter() - t0) / iters
+        print(f"[winattn] {name}: {dt * 1e3:.2f} ms/layer-op "
+              f"(compile {compile_s:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,10 @@ import pytest
 
 from interactvlm_tpu.models.sam.image_encoder import decomposed_rel_pos_bias
 from interactvlm_tpu.ops.attention import _xla_attention
-from interactvlm_tpu.ops.sam_attention import fused_rel_attention
+from interactvlm_tpu.ops.sam_attention import (
+    fused_rel_attention,
+    fused_window_attention,
+)
 
 
 @pytest.mark.parametrize(
@@ -27,5 +30,27 @@ def test_fused_rel_attention_matches_reference(H, W, D):
     bias = decomposed_rel_pos_bias(q, rh, rw, (H, W))
     want = _xla_attention(q, k, v, bias=bias, scale=D ** -0.5)
     got = fused_rel_attention(q, k, v, rh, rw, (H, W), interpret=True)
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 2e-3, err
+
+
+@pytest.mark.parametrize(
+    "H,W,D,nH", [(14, 14, 80, 16), (8, 8, 64, 2), (7, 5, 64, 3)]
+)
+def test_fused_window_attention_matches_reference(H, W, D, nH):
+    """The single-block window kernel (heads looped in-program) must match
+    the XLA decomposed-bias path (reference image_encoder.py:354-392)."""
+    BW = 4
+    L = H * W
+    q, k, v = (
+        jax.random.normal(jax.random.PRNGKey(i), (BW, nH, L, D), jnp.float32)
+        for i in range(3)
+    )
+    rh = jax.random.normal(jax.random.PRNGKey(3), (2 * H - 1, D)) * 0.5
+    rw = jax.random.normal(jax.random.PRNGKey(4), (2 * W - 1, D)) * 0.5
+
+    bias = decomposed_rel_pos_bias(q, rh, rw, (H, W))
+    want = _xla_attention(q, k, v, bias=bias, scale=D ** -0.5)
+    got = fused_window_attention(q, k, v, rh, rw, (H, W), interpret=True)
     err = np.abs(np.asarray(got) - np.asarray(want)).max()
     assert err < 2e-3, err
