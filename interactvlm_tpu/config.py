@@ -37,6 +37,10 @@ class SAMConfig:
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    # tanh-approximate GELU in the encoder MLPs: the exact erf costs ~10%
+    # of ViT-H encode wall time on a v5e VPU (scripts/sam_probe.py) for a
+    # <=3e-3 activation deviation; default False = reference numerics
+    gelu_approx: bool = False
 
     @property
     def image_embedding_size(self) -> int:

@@ -24,11 +24,12 @@ class MLPBlock(nn.Module):
     mlp_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    gelu_approx: bool = False  # tanh GELU: see SAMConfig.gelu_approx
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
 
 
@@ -171,6 +172,7 @@ class Block(nn.Module):
     window_size: int  # 0 = global
     input_size: Tuple[int, int]
     dtype: jnp.dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -194,7 +196,8 @@ class Block(nn.Module):
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLPBlock(
-            int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp"
+            int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+            gelu_approx=self.gelu_approx, name="mlp"
         )(y)
         return x + y
 
@@ -235,6 +238,7 @@ class ImageEncoderViT(nn.Module):
                 ),
                 input_size=(grid, grid),
                 dtype=cfg.dtype,
+                gelu_approx=cfg.gelu_approx,
                 name=f"block_{i}",
             )(x)
 

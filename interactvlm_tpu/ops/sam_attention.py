@@ -36,28 +36,30 @@ BLOCK_Q = 128
 BLOCK_K = 128
 
 
-def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, lk, scale, W, Wp):
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, lk, scale, W, Wp,
+            block_k=BLOCK_K):
     """q_ref: (1, BQ, D); k/v_ref: (1, Lkp, D); rh_ref: (1, Hp, BQ);
     rw_ref: (1, BQ, Wpad)."""
     q = q_ref[0]  # keep input dtype: bf16 x bf16 runs the MXU at full rate
+    bq = q_ref.shape[1]
     Lkp = k_ref.shape[1]
     D = q_ref.shape[2]
-    n_kb = Lkp // BLOCK_K
-    rows_per_kb = BLOCK_K // Wp
+    n_kb = Lkp // block_k
+    rows_per_kb = block_k // Wp
 
     # expansion matrices: E_h[i, c] = 1 iff c // Wp == i ;
     # E_w[i, c] = 1 iff c % Wp == i
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows_per_kb, BLOCK_K), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows_per_kb, BLOCK_K), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows_per_kb, block_k), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows_per_kb, block_k), 0)
     e_h = (col // Wp == row).astype(jnp.float32)
-    colw = jax.lax.broadcasted_iota(jnp.int32, (Wp, BLOCK_K), 1)
-    roww = jax.lax.broadcasted_iota(jnp.int32, (Wp, BLOCK_K), 0)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (Wp, block_k), 1)
+    roww = jax.lax.broadcasted_iota(jnp.int32, (Wp, block_k), 0)
     e_w = (colw % Wp == roww).astype(jnp.float32)
 
     def body(kb, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :]
-        v_blk = v_ref[0, pl.ds(kb * BLOCK_K, BLOCK_K), :]
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -74,8 +76,8 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, lk, scale, W, Wp):
         )  # (BQ, BK): bias_w[r, c] = rel_w[r, c % Wp]
         s = s + rh_exp + rw_exp
 
-        k_idx = kb * BLOCK_K + jax.lax.broadcasted_iota(
-            jnp.int32, (BLOCK_Q, BLOCK_K), 1
+        k_idx = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1
         )
         valid = (k_idx < lk) & (k_idx % Wp < W)
         s = jnp.where(valid, s, NEG_INF)
@@ -91,9 +93,9 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, lk, scale, W, Wp):
         )
         return acc_new, m_new, l_new
 
-    acc0 = jnp.zeros((BLOCK_Q, D), jnp.float32)
-    m0 = jnp.full((BLOCK_Q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((BLOCK_Q, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
     l = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
@@ -104,12 +106,12 @@ def _rel_tables(rel_pos, size):
     return rel_pos[coords]  # (size, size, d)
 
 
-def _grid_pad_width(W: int) -> int:
-    """Smallest Wp >= W with BLOCK_K % Wp == 0."""
-    for wp in range(W, BLOCK_K + 1):
-        if BLOCK_K % wp == 0:
+def _grid_pad_width(W: int, block_k: int = BLOCK_K) -> int:
+    """Smallest Wp >= W with block_k % Wp == 0."""
+    for wp in range(W, block_k + 1):
+        if block_k % wp == 0:
             return wp
-    return BLOCK_K
+    return block_k
 
 
 def _window_kernel(q_ref, k_ref, v_ref, f_ref, o_ref, *, lk, scale, W, nH):
@@ -249,7 +251,11 @@ def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):
     B, nH, L, D = q.shape
     assert L == H * W
     scale = D ** -0.5
-    Wp = _grid_pad_width(W)
+    from interactvlm_tpu.ops.flash_attention import _pick_block
+
+    bq = _pick_block(L)
+    bk = bq if bq % _grid_pad_width(W, bq) == 0 else BLOCK_K
+    Wp = _grid_pad_width(W, bk)
     Lg = H * Wp  # grid-padded token count
 
     Rh = _rel_tables(rel_pos_h, H)  # (H, H, D)
@@ -272,7 +278,7 @@ def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):
     rel_w = grid_pad(grid_pad(rel_w, 3), 4).reshape(B * nH, Lg, Wp)
 
     Dp = max(128, ((D + 127) // 128) * 128)
-    Lp = ((Lg + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    Lp = ((Lg + bq - 1) // bq) * bq
     Wpad = max(128, Wp)
     Hp = max(H, Lp // Wp)
 
@@ -282,24 +288,25 @@ def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):
     rhp = _pad_to(_pad_to(rel_h, Hp, 1), Lp, 2)
     rwp = _pad_to(_pad_to(rel_w, Wpad, 2), Lp, 1)
 
-    grid = (B * nH, Lp // BLOCK_Q)
+    grid = (B * nH, Lp // bq)
     out = pl.pallas_call(
-        functools.partial(_kernel, lk=Lg, scale=scale, W=W, Wp=Wp),
+        functools.partial(_kernel, lk=Lg, scale=scale, W=W, Wp=Wp,
+                          block_k=bk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, Dp), lambda bh, qi: (bh, qi, 0),
+            pl.BlockSpec((1, bq, Dp), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lp, Dp), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lp, Dp), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hp, BLOCK_Q), lambda bh, qi: (bh, 0, qi),
+            pl.BlockSpec((1, Hp, bq), lambda bh, qi: (bh, 0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, Wpad), lambda bh, qi: (bh, qi, 0),
+            pl.BlockSpec((1, bq, Wpad), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, BLOCK_Q, Dp), lambda bh, qi: (bh, qi, 0),
+            (1, bq, Dp), lambda bh, qi: (bh, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B * nH, Lp, Dp), q.dtype),

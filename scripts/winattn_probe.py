@@ -90,11 +90,33 @@ def main():
         y = (x @ w1)[:, : nH * D]
         return (y @ w2).reshape(BW, L, nH, D).transpose(0, 2, 1, 3)
 
+    # global-attention shapes: 8 images x 16 heads x 64x64 grid
+    GB, GH, GW_, GD = 8, 16, 64, 80
+    GL = GW_ * GW_
+    gq = jax.random.normal(key, (GB, GH, GL, GD), dtype)
+    gk = jax.random.normal(key, (GB, GH, GL, GD), dtype)
+    gv = jax.random.normal(key, (GB, GH, GL, GD), dtype)
+    grh = jax.random.normal(key, (2 * GW_ - 1, GD), jnp.float32) * 0.5
+
+    def run_global_fused(q, k, v):
+        # q.mean() keeps the iteration-to-iteration data dependence so XLA
+        # cannot hoist the op out of the timing loop
+        return sa.fused_rel_attention(
+            gq + q.mean() * 1e-9, gk, gv, grh, grh, (GW_, GW_)
+        )
+
+    def run_global_plain(q, k, v):
+        from interactvlm_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(gq + q.mean() * 1e-9, gk, gv)
+
     fns = {
         "xla": run_xla,
         "kernel": run_kernel,
         "kernel_nofactors": run_kernel_nofactors,
         "qkvproj": run_qkvproj,
+        "global_fused": run_global_fused,
+        "global_plain": run_global_plain,
     }
 
     for name in variants:

@@ -16,7 +16,9 @@ def rand(shape, key):
 
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize(
-    "B,H,L,D", [(1, 2, 128, 64), (2, 2, 256, 128), (1, 1, 200, 80)]
+    "B,H,L,D",
+    [(1, 2, 128, 64), (2, 2, 256, 128), (1, 1, 200, 80),
+     (1, 1, 512, 64)],  # 512-divisible: exercises the big-block path
 )
 def test_flash_matches_reference(B, H, L, D, causal):
     q, k, v = (rand((B, H, L, D), i) for i in range(3))
