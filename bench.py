@@ -149,9 +149,11 @@ def main():
     llama_size = os.environ.get("BENCH_LLAMA", "7b" if on_tpu else "tiny")
     sam_size = os.environ.get("BENCH_SAM", "vit_h" if on_tpu else "vit_b_small")
     wq = os.environ.get("BENCH_WQ", "int8" if on_tpu else "bf16")
-    kv_kind = os.environ.get("BENCH_KV", "dense")
+    # int8 KV (north-star serving config): with scale-folded attention it
+    # measures faster than the dense cache (2.30 vs 2.20 img/s at B=8)
+    kv_kind = os.environ.get("BENCH_KV", "int8" if on_tpu else "dense")
     V = int(os.environ.get("BENCH_VIEWS", "4"))
-    B = int(os.environ.get("BENCH_BATCH", "4" if on_tpu else "2"))
+    B = int(os.environ.get("BENCH_BATCH", "8" if on_tpu else "2"))
     T = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
     L_TEXT = int(os.environ.get("BENCH_PROMPT", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))

