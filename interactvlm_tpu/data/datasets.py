@@ -962,6 +962,179 @@ class SemSegDataset(BaseContactDataset):
         )
 
 
+def _coco_ann_to_mask(ann: Dict, h: int, w: int) -> np.ndarray:
+    """COCO annotation -> binary mask without pycocotools (annToMask):
+    polygon lists via the scanline rasterizer, RLE dicts via rle_decode."""
+    seg = ann["segmentation"]
+    if isinstance(seg, dict):
+        return rle_decode(seg).astype(np.float32)
+    mask = np.zeros((h, w), np.float32)
+    for poly in seg:
+        mask = np.maximum(mask, fill_polygon(poly, h, w))
+    return mask
+
+
+class SemSegLISADataset(BaseContactDataset):
+    """LISA-legacy semantic segmentation over the REAL dataset layouts
+    (reference ``datasets/sem_seg_dataset.py``): ade20k / cocostuff /
+    mapillary id-map PNGs and the paco_lvis COCO-style part annotations,
+    with the reference's label remaps and class naming.
+
+    One sampled class per item (the reference emits num_classes_per_sample
+    conversations per record; this collate is one conversation per row, so
+    class sampling happens per draw -- same training distribution).
+    """
+
+    ds_name = "sem_seg"
+    IGNORE = 255
+
+    def __init__(self, base_dir: str, dataset: str = "ade20k",
+                 view_type: str = "4MV-Z_Vitru_mv2", **kw):
+        super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
+        import glob as _glob
+        import json as _json
+
+        self.dataset = dataset
+        if dataset == "ade20k":
+            # init_ade20k (sem_seg_dataset.py:39-67): class json + paired
+            # images/training <-> annotations/training PNGs
+            with open(join(base_dir, "ade20k", "ade20k_classes.json")) as f:
+                self.classes = _json.load(f)
+            img_dir = join(base_dir, "ade20k", "images", "training")
+            self.images = sorted(
+                join(img_dir, x) for x in os.listdir(img_dir)
+                if x.endswith(".jpg")
+            )
+            self.labels = [
+                x.replace(".jpg", ".png").replace("images", "annotations")
+                for x in self.images
+            ]
+        elif dataset == "cocostuff":
+            # init_cocostuff (:69-86): "id: name" txt (first line skipped),
+            # label PNGs under cocostuff/train2017, images under coco/
+            self.classes = []
+            with open(join(base_dir, "cocostuff",
+                           "cocostuff_classes.txt")) as f:
+                for line in f.readlines()[1:]:
+                    self.classes.append(line.strip().split(": ")[-1])
+            self.labels = sorted(_glob.glob(
+                join(base_dir, "cocostuff", "train2017", "*.png")
+            ))
+            self.images = [
+                x.replace(".png", ".jpg").replace("cocostuff", "coco")
+                for x in self.labels
+            ]
+            # multi-word "-" classes are unsegmentable -> ignored (:254-256)
+            self.coco_ignore_ids = {
+                i for i, c in enumerate(self.classes) if "-" in c
+            }
+        elif dataset == "mapillary":
+            # init_mapillary (:20-36): config_v2.0.json readable names
+            with open(join(base_dir, "mapillary", "config_v2.0.json")) as f:
+                self.classes = [
+                    x["readable"].lower() for x in _json.load(f)["labels"]
+                ]
+            self.labels = sorted(_glob.glob(join(
+                base_dir, "mapillary", "training", "v2.0", "labels", "*.png"
+            )))
+            self.images = [
+                x.replace(".png", ".jpg").replace("v2.0/labels", "images")
+                for x in self.labels
+            ]
+        elif dataset == "paco_lvis":
+            # init_paco_lvis (:88-110): COCO-style json; "obj:part" names
+            # with "_( ... )" suffixes stripped
+            with open(join(base_dir, "vlpart", "paco", "annotations",
+                           "paco_lvis_v1_train.json")) as f:
+                coco = _json.load(f)
+            self.class_map = {}
+            for cat in coco["categories"]:
+                parts = cat["name"].strip().split(":")
+                if len(parts) == 1:
+                    self.class_map[cat["id"]] = parts[0].split("_(")[0]
+                else:
+                    obj, part = parts
+                    self.class_map[cat["id"]] = (
+                        obj.split("_(")[0], part.split("_(")[0]
+                    )
+            self.img_info = {im["id"]: im for im in coco["images"]}
+            self.img_anns: Dict = {}
+            for ann in coco["annotations"]:
+                self.img_anns.setdefault(ann["image_id"], []).append(ann)
+            self.img_ids = [i for i in self.img_info if self.img_anns.get(i)]
+        else:
+            raise ValueError(f"unknown sem_seg dataset {dataset!r}")
+
+    def __len__(self):
+        if self.dataset == "paco_lvis":
+            return len(self.img_ids)
+        return len(self.images)
+
+    def _remap(self, label: np.ndarray) -> np.ndarray:
+        lab = label.astype(np.int32)
+        if self.dataset == "ade20k":
+            # 0 = unlabeled -> ignore; ids shift down by 1 (:245-248)
+            lab[lab == 0] = self.IGNORE + 1
+            lab = lab - 1
+            lab[lab == 254] = self.IGNORE
+        elif self.dataset == "cocostuff":
+            for i in self.coco_ignore_ids:
+                lab[lab == i] = self.IGNORE
+        return lab
+
+    def __getitem__(self, idx: int) -> Sample:
+        from PIL import Image as _I
+
+        if self.dataset == "paco_lvis":
+            img_id = self.img_ids[idx]
+            info = self.img_info[img_id]
+            img_path = join(self.base_dir, "coco", info["file_name"])
+            img = load_image_rgb(img_path)
+            ann = self.rng.choice(self.img_anns[img_id])
+            mask = _coco_ann_to_mask(ann, img.shape[0], img.shape[1])
+            cls = self.class_map[ann["category_id"]]
+            if isinstance(cls, tuple):
+                obj, part = cls
+                # 50/50 phrase forms (:229-235)
+                name = (obj + " " + part if self.rng.random() < 0.5
+                        else f"the {part} of the {obj}")
+            else:
+                name = cls
+        else:
+            img_path = self.images[idx]
+            img = load_image_rgb(img_path)
+            lab = self._remap(np.asarray(_I.open(self.labels[idx])))
+            present = [int(c) for c in np.unique(lab) if c != self.IGNORE]
+            if not present:  # reference restarts at item 0 (:263-265)
+                return self[0] if idx != 0 else self[(idx + 1) % len(self)]
+            class_id = int(self.rng.choice(present))
+            mask = (lab == class_id).astype(np.float32)
+            name = self.classes[class_id]
+
+        sam_img, resize = sam_preprocess(img, self.image_size)
+        q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
+            class_name=name.lower()
+        )
+        a = self.rng.choice(C.ANSWER_LIST)
+        conv = build_conversation(q, a, self.conv_type)
+        return Sample(
+            image_path=img_path,
+            sam_images=sam_img[None],
+            image_clip=self.load_clip_image(img_path),
+            conversations=[conv],
+            masks=sam_label_preprocess(mask, self.image_size)[None],
+            label=mask,
+            gt_contact_3d=np.zeros(1, np.float32),
+            cam_params=np.zeros((1, 5), np.float32),
+            resize=resize,
+            questions=[q],
+            sampled_classes=[name],
+            ds_name=self.ds_name,
+            mask_paths=[],
+        )
+
+
 DATASET_REGISTRY.update(
-    {"reason_seg": ReasonSegDataset, "sem_seg": SemSegDataset}
+    {"reason_seg": ReasonSegDataset, "sem_seg": SemSegDataset,
+     "sem_seg_lisa": SemSegLISADataset}
 )

@@ -411,3 +411,112 @@ class TestNewDatasets:
         assert tri[1, 1] == 1 and tri[9, 9] == 0
         # degenerate
         assert fill_polygon([(1, 1), (2, 2)], 5, 5).sum() == 0
+
+
+class TestSemSegLISA:
+    """Real-layout sem-seg adapters (reference sem_seg_dataset.py inits
+    and label remaps), on fabricated trees with the documented layouts."""
+
+    @pytest.fixture(scope="class")
+    def lisa_root(self, tmp_path_factory):
+        import json
+
+        root = tmp_path_factory.mktemp("lisa")
+        rng = np.random.default_rng(0)
+
+        def save(path, arr):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            Image.fromarray(arr).save(path)
+
+        # --- ade20k: ids in the PNG are class_index + 1; 0 = unlabeled
+        with open_mkdir(join(root, "ade20k", "ade20k_classes.json")) as f:
+            json.dump(["wall", "building", "sky"], f)
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        save(join(root, "ade20k", "images", "training", "a1.jpg"), img)
+        lab = np.zeros((32, 32), np.uint8)
+        lab[4:16, 4:16] = 2  # class index 1 = building
+        save(join(root, "ade20k", "annotations", "training", "a1.png"), lab)
+
+        # --- cocostuff: "id: name" txt, first line skipped; '-' ignored
+        with open_mkdir(join(root, "cocostuff",
+                             "cocostuff_classes.txt")) as f:
+            f.write("# header\n0: person\n1: grass-merged\n2: tree\n")
+        lab = np.full((32, 32), 255, np.uint8)  # 255 = unlabeled
+        lab[0:8, 0:8] = 1   # '-' class: must be ignored
+        lab[10:20, 10:20] = 2
+        save(join(root, "cocostuff", "train2017", "c1.png"), lab)
+        save(join(root, "coco", "train2017", "c1.jpg"), img)
+
+        # --- mapillary: config json + v2.0 labels
+        with open_mkdir(join(root, "mapillary", "config_v2.0.json")) as f:
+            json.dump({"labels": [{"readable": "Road"},
+                                  {"readable": "Car"}]}, f)
+        lab = np.zeros((32, 32), np.uint8)
+        lab[2:10, 2:10] = 1
+        save(join(root, "mapillary", "training", "v2.0", "labels",
+                  "m1.png"), lab)
+        save(join(root, "mapillary", "training", "images", "m1.jpg"), img)
+
+        # --- paco_lvis: COCO-style json with obj:part category names
+        coco = {
+            "images": [{"id": 7, "file_name": "train2017/c1.jpg"}],
+            "categories": [
+                {"id": 1, "name": "chair_(furniture):leg_(limb)"},
+                {"id": 2, "name": "table_(furniture)"},
+            ],
+            "annotations": [
+                {"id": 1, "image_id": 7, "category_id": 1,
+                 "segmentation": [[4, 4, 20, 4, 20, 20, 4, 20]]},
+            ],
+        }
+        with open_mkdir(join(root, "vlpart", "paco", "annotations",
+                             "paco_lvis_v1_train.json")) as f:
+            json.dump(coco, f)
+        return str(root)
+
+    def _mk(self, root, ds):
+        from interactvlm_tpu.data.datasets import SemSegLISADataset
+
+        import random as _random
+
+        return SemSegLISADataset(
+            root, dataset=ds, image_size=64, clip_size=32,
+            rng=_random.Random(0),
+        )
+
+    def test_ade20k_remap_and_sample(self, lisa_root):
+        d = self._mk(lisa_root, "ade20k")
+        s = d[0]
+        assert s.sampled_classes == ["building"]  # id 2 -> index 1
+        assert s.label.sum() == 12 * 12
+        assert s.ds_name == "sem_seg"
+
+    def test_cocostuff_ignores_dash_classes(self, lisa_root):
+        d = self._mk(lisa_root, "cocostuff")
+        for i in range(4):
+            d.rng = __import__("random").Random(i)
+            s = d[0]
+            assert s.sampled_classes == ["tree"]  # grass-merged ignored
+            assert s.label.sum() == 10 * 10
+
+    def test_mapillary_readable_names(self, lisa_root):
+        d = self._mk(lisa_root, "mapillary")
+        names = {d[0].sampled_classes[0] for _ in range(4)}
+        assert names <= {"road", "car"}
+
+    def test_paco_part_phrasing(self, lisa_root):
+        d = self._mk(lisa_root, "paco_lvis")
+        assert len(d) == 1
+        names = set()
+        for i in range(8):
+            d.rng = __import__("random").Random(i)
+            names.add(d[0].sampled_classes[0])
+        assert names <= {"chair leg", "the leg of the chair"}
+        assert len(names) == 2  # both phrase forms appear
+        s = d[0]
+        assert s.label.sum() > 0  # polygon rasterized
+
+
+def open_mkdir(path, mode="w"):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return open(path, mode)
