@@ -770,6 +770,97 @@ class ReferSegDataset(BaseContactDataset):
         )
 
 
+class ReferSegLISADataset(BaseContactDataset):
+    """Referring segmentation over the REAL REFER corpora layout
+    (reference ``datasets/refer_seg_dataset.py`` + the REFER/G_REFER API):
+    ``refer_seg/{ds}/refs({splitBy}).p`` pickles + ``instances.json``
+    COCO-style annotations; images under ``images/saiapr_tc-12`` (refclef)
+    or ``images/mscoco/images/train2014`` (refcoco/+/g).
+
+    splitBy follows the reference: umd for refcocog, unc otherwise
+    (refer_seg_dataset.py:57-61). grefcoco refs carry ann_id LISTS whose
+    masks are unioned; empty lists (no-target) give a zero mask.
+    """
+
+    ds_name = "refer_seg"
+
+    def __init__(self, base_dir: str, dataset: str = "refcoco",
+                 split: str = "train",
+                 view_type: str = "4MV-Z_Vitru_mv2", **kw):
+        super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
+        import json as _json
+
+        self.dataset = dataset
+        data_dir = join(base_dir, "refer_seg")
+        split_by = "umd" if dataset == "refcocog" else "unc"
+        with open(join(data_dir, dataset, f"refs({split_by}).p"), "rb") as f:
+            refs = pickle.load(f)
+        with open(join(data_dir, dataset, "instances.json")) as f:
+            inst = _json.load(f)
+        self.anns = {a["id"]: a for a in inst["annotations"]}
+        img_info = {im["id"]: im for im in inst["images"]}
+
+        if dataset == "refclef":
+            img_root = join(data_dir, "images", "saiapr_tc-12")
+        else:
+            img_root = join(data_dir, "images", "mscoco", "images",
+                            "train2014")
+
+        self.img2refs: Dict = {}
+        for ref in refs:
+            if ref.get("split", "train") != split:
+                continue
+            self.img2refs.setdefault(ref["image_id"], []).append(ref)
+        self.records = [
+            (join(img_root, img_info[i]["file_name"]),
+             img_info[i]["height"], img_info[i]["width"], i)
+            for i in sorted(self.img2refs) if i in img_info
+        ]
+
+    def __len__(self):
+        return len(self.records)
+
+    def _ref_mask(self, ref, h: int, w: int) -> np.ndarray:
+        ann_ids = ref["ann_id"]
+        if not isinstance(ann_ids, list):  # REFER; G_REFER uses lists
+            ann_ids = [ann_ids]
+        mask = np.zeros((h, w), np.float32)
+        for aid in ann_ids:  # empty (grefcoco no-target) -> zero mask
+            if aid in self.anns and self.anns[aid].get("segmentation"):
+                mask = np.maximum(
+                    mask, _coco_ann_to_mask(self.anns[aid], h, w)
+                )
+        return mask
+
+    def __getitem__(self, idx: int) -> Sample:
+        img_path, h, w, image_id = self.records[idx]
+        img = load_image_rgb(img_path)
+        sam_img, resize = sam_preprocess(img, self.image_size)
+        ref = self.rng.choice(self.img2refs[image_id])
+        sent = self.rng.choice(ref["sentences"])["sent"]
+        mask = self._ref_mask(ref, h, w)
+        q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
+            class_name=sent.lower()
+        )
+        a = self.rng.choice(C.ANSWER_LIST)
+        conv = build_conversation(q, a, self.conv_type)
+        return Sample(
+            image_path=img_path,
+            sam_images=sam_img[None],
+            image_clip=self.load_clip_image(img_path),
+            conversations=[conv],
+            masks=sam_label_preprocess(mask, self.image_size)[None],
+            label=mask,
+            gt_contact_3d=np.zeros(1, np.float32),
+            cam_params=np.zeros((1, 5), np.float32),
+            resize=resize,
+            questions=[q],
+            sampled_classes=[sent],
+            ds_name=self.ds_name,
+            mask_paths=[],
+        )
+
+
 class ValDataset:
     """Validation wrapper: a fixed, ordered pass over one task dataset
     (reference ``datasets/dataset.py:381-592`` semantics -- deterministic
@@ -801,6 +892,7 @@ DATASET_REGISTRY.update(
         "ocontact": OContactDataset,
         "h2dcontact": H2DContactDataset,
         "refer_seg": ReferSegDataset,
+        "refer_seg_lisa": ReferSegLISADataset,
     }
 )
 

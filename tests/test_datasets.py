@@ -520,3 +520,73 @@ class TestSemSegLISA:
 def open_mkdir(path, mode="w"):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return open(path, mode)
+
+
+class TestReferSegLISA:
+    """Real REFER-corpora layout (refs(splitBy).p + instances.json)."""
+
+    @pytest.fixture(scope="class")
+    def refer_root(self, tmp_path_factory):
+        import json
+
+        root = tmp_path_factory.mktemp("refer")
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (24, 30, 3), dtype=np.uint8)
+        p = join(root, "refer_seg", "images", "mscoco", "images",
+                 "train2014", "x.jpg")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(img).save(p)
+
+        inst = {
+            "images": [{"id": 3, "file_name": "x.jpg",
+                        "height": 24, "width": 30}],
+            "annotations": [
+                {"id": 11, "image_id": 3,
+                 "segmentation": [[2, 2, 10, 2, 10, 10, 2, 10]]},
+                {"id": 12, "image_id": 3,
+                 "segmentation": [[15, 15, 25, 15, 25, 22, 15, 22]]},
+            ],
+        }
+        refs = [
+            {"ref_id": 0, "image_id": 3, "ann_id": 11, "split": "train",
+             "sentences": [{"sent": "the red chair"}]},
+            {"ref_id": 1, "image_id": 3, "ann_id": [11, 12],
+             "split": "train",
+             "sentences": [{"sent": "both things"}]},  # grefcoco-style
+            {"ref_id": 2, "image_id": 3, "ann_id": 11, "split": "val",
+             "sentences": [{"sent": "ignored"}]},
+        ]
+        for ds, split_by in (("refcoco", "unc"), ("refcocog", "umd")):
+            d = join(root, "refer_seg", ds)
+            os.makedirs(d, exist_ok=True)
+            with open(join(d, f"refs({split_by}).p"), "wb") as f:
+                pickle.dump(refs, f)
+            with open(join(d, "instances.json"), "w") as f:
+                json.dump(inst, f)
+        return str(root)
+
+    def test_refcoco_train_split_and_mask(self, refer_root):
+        import random as _random
+
+        from interactvlm_tpu.data.datasets import ReferSegLISADataset
+
+        d = ReferSegLISADataset(refer_root, dataset="refcoco",
+                                image_size=64, clip_size=32,
+                                rng=_random.Random(0))
+        assert len(d) == 1
+        sents, sums = set(), set()
+        for i in range(8):
+            d.rng = _random.Random(i)
+            s = d[0]
+            sents.add(s.sampled_classes[0])
+            sums.add(int(s.label.sum()))
+        assert sents == {"the red chair", "both things"}  # val ref excluded
+        # single-ann mask (8x8=64) and unioned grefcoco-style mask (64+70)
+        assert sums == {64, 134}
+
+    def test_refcocog_umd_splitby(self, refer_root):
+        from interactvlm_tpu.data.datasets import ReferSegLISADataset
+
+        d = ReferSegLISADataset(refer_root, dataset="refcocog",
+                                image_size=64, clip_size=32)
+        assert len(d) == 1 and d[0].ds_name == "refer_seg"
