@@ -1133,11 +1133,16 @@ class SemSegLISADataset(BaseContactDataset):
                 x.replace(".png", ".jpg").replace("v2.0/labels", "images")
                 for x in self.labels
             ]
-        elif dataset == "paco_lvis":
-            # init_paco_lvis (:88-110): COCO-style json; "obj:part" names
-            # with "_( ... )" suffixes stripped
-            with open(join(base_dir, "vlpart", "paco", "annotations",
-                           "paco_lvis_v1_train.json")) as f:
+        elif dataset in ("paco_lvis", "pascal_part"):
+            # init_paco_lvis (:88-110) / init_pascal_part (:113-124):
+            # COCO-style json; "obj:part" names with "_(...)" stripped
+            if dataset == "paco_lvis":
+                ann_json = join(base_dir, "vlpart", "paco", "annotations",
+                                "paco_lvis_v1_train.json")
+            else:
+                ann_json = join(base_dir, "vlpart", "pascal_part",
+                                "train.json")
+            with open(ann_json) as f:
                 coco = _json.load(f)
             self.class_map = {}
             for cat in coco["categories"]:
@@ -1158,7 +1163,7 @@ class SemSegLISADataset(BaseContactDataset):
             raise ValueError(f"unknown sem_seg dataset {dataset!r}")
 
     def __len__(self):
-        if self.dataset == "paco_lvis":
+        if self.dataset in ("paco_lvis", "pascal_part"):
             return len(self.img_ids)
         return len(self.images)
 
@@ -1177,10 +1182,16 @@ class SemSegLISADataset(BaseContactDataset):
     def __getitem__(self, idx: int) -> Sample:
         from PIL import Image as _I
 
-        if self.dataset == "paco_lvis":
+        if self.dataset in ("paco_lvis", "pascal_part"):
             img_id = self.img_ids[idx]
             info = self.img_info[img_id]
-            img_path = join(self.base_dir, "coco", info["file_name"])
+            if self.dataset == "pascal_part":
+                # images under VOCdevkit (sem_seg_dataset.py:200-205)
+                img_path = join(self.base_dir, "vlpart", "pascal_part",
+                                "VOCdevkit", "VOC2010", "JPEGImages",
+                                info["file_name"])
+            else:
+                img_path = join(self.base_dir, "coco", info["file_name"])
             img = load_image_rgb(img_path)
             ann = self.rng.choice(self.img_anns[img_id])
             mask = _coco_ann_to_mask(ann, img.shape[0], img.shape[1])

@@ -101,17 +101,24 @@ def _flash_kernel(
     )
 
 
-def _pick_block(L: int, cap: int = 512) -> int:
+def _pick_block(L: int, cap: int | None = None) -> int:
     """Largest power-of-two block in [128, cap] dividing L's padded length.
 
     128x128 blocks at L=4096 leave the MXU overhead-bound (measured 10% of
     peak on a v5e for SAM's 64x64 global attention); 512-wide tiles with
     the same online-softmax loop run ~3x faster. Short/ragged sequences
-    keep 128 to bound padding waste.
+    keep 128 to bound padding waste. IVLM_FLASH_BLOCK_CAP overrides the
+    cap for probing.
     """
-    for b in (cap, 256):
+    import os
+
+    if cap is None:
+        cap = int(os.environ.get("IVLM_FLASH_BLOCK_CAP", "512"))
+    b = cap
+    while b > 128:
         if L >= b and L % b == 0:
             return b
+        b //= 2
     return 128
 
 

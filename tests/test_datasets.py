@@ -590,3 +590,37 @@ class TestReferSegLISA:
         d = ReferSegLISADataset(refer_root, dataset="refcocog",
                                 image_size=64, clip_size=32)
         assert len(d) == 1 and d[0].ds_name == "refer_seg"
+
+
+def test_pascal_part_layout(tmp_path):
+    """pascal_part: vlpart/pascal_part/train.json + VOCdevkit images
+    (reference sem_seg_dataset.py:113-124, :200-205)."""
+    import json
+    import random as _random
+
+    from interactvlm_tpu.data.datasets import SemSegLISADataset
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+    p = join(tmp_path, "vlpart", "pascal_part", "VOCdevkit", "VOC2010",
+             "JPEGImages", "v.jpg")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    Image.fromarray(img).save(p)
+    coco = {
+        "images": [{"id": 1, "file_name": "v.jpg"}],
+        "categories": [{"id": 5, "name": "dog:head"}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 5,
+                         "segmentation": [[2, 2, 12, 2, 12, 12, 2, 12]]}],
+    }
+    ann = join(tmp_path, "vlpart", "pascal_part", "train.json")
+    with open(ann, "w") as f:
+        json.dump(coco, f)
+    d = SemSegLISADataset(str(tmp_path), dataset="pascal_part",
+                          image_size=64, clip_size=32,
+                          rng=_random.Random(0))
+    assert len(d) == 1
+    names = set()
+    for i in range(8):
+        d.rng = _random.Random(i)
+        names.add(d[0].sampled_classes[0])
+    assert names == {"dog head", "the head of the dog"}
