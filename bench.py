@@ -230,7 +230,10 @@ def main():
     view_cams = HUMAN_VIEWS["4MV-Z_Vitru_mv2"].cam_params()[:V]
     win = max(pick_window(verts, faces, c, mask_size) for c in view_cams)
     t0 = time.perf_counter()
-    cpu0 = jax.devices("cpu")[0]
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:  # no host CPU backend alongside the accelerator
+        cpu0 = jax.devices()[0]
     with jax.default_device(cpu0):
         p2v, bary, _ = build_lift_maps(
             jax.device_put(verts, cpu0), jax.device_put(faces, cpu0),

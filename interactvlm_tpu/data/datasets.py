@@ -1206,10 +1206,23 @@ class SemSegLISADataset(BaseContactDataset):
         else:
             img_path = self.images[idx]
             img = load_image_rgb(img_path)
-            lab = self._remap(np.asarray(_I.open(self.labels[idx])))
-            present = [int(c) for c in np.unique(lab) if c != self.IGNORE]
-            if not present:  # reference restarts at item 0 (:263-265)
-                return self[0] if idx != 0 else self[(idx + 1) % len(self)]
+            # all-ignore items fall through to the next item, bounded by one
+            # pass over the dataset (reference restarts at item 0, :263-265)
+            present = []
+            for _ in range(len(self)):
+                lab = self._remap(np.asarray(_I.open(self.labels[idx])))
+                present = [
+                    int(c) for c in np.unique(lab) if c != self.IGNORE
+                ]
+                if present:
+                    break
+                idx = (idx + 1) % len(self)
+                img_path = self.images[idx]
+                img = load_image_rgb(img_path)
+            if not present:
+                raise ValueError(
+                    f"sem_seg {self.dataset}: every label map is all-ignore"
+                )
             class_id = int(self.rng.choice(present))
             mask = (lab == class_id).astype(np.float32)
             name = self.classes[class_id]

@@ -212,7 +212,10 @@ def generate_damon_tree(
     new_annot: Dict[str, Dict[str, np.ndarray]] = {}
     body_parts: Dict[str, Dict[str, list]] = {}
     for image_name, objs in sorted(contact_annot.items()):
-        stem = splitext(image_name)[0]
+        # reference keys masks by the image BASENAME (hcontact_3d.py:61:
+        # base_name = os.path.basename(llava_image)[:-4]) -- must match the
+        # loader's stem for path-qualified image names (e.g. RICH frames)
+        stem = splitext(basename(image_name))[0]
         for obj, ids in sorted(objs.items()):
             ids = np.asarray(ids).reshape(-1)
             if ids.size == 0:

@@ -96,15 +96,16 @@ def evaluate_batch(
     seg_hidden = step_hidden[np.arange(B), first]  # predictor hidden
     token_id = gen_ids[np.arange(B), first]
 
+    # one SAM-tail pass: low-res decoder logits, upsampled for the square
+    # path; the original-frame path reuses the SAME low-res tensor (the
+    # ViT encode of B*V views dominates eval cost -- never run it twice)
+    low = model.apply(
+        params, jnp.asarray(seg_hidden), jnp.asarray(token_id),
+        batch["sam_images"], batch["cam_params"], contact_type,
+        method=InteractVLM.low_res_masks_from_seg_hidden,
+    )
     pred_masks = model.apply(
-        params,
-        jnp.asarray(seg_hidden),
-        jnp.asarray(token_id),
-        batch["sam_images"],
-        batch["cam_params"],
-        mask_size,
-        contact_type,
-        method=InteractVLM.masks_from_seg_hidden,
+        params, low, mask_size, method=InteractVLM.upsample_masks
     )
     pred_masks = jnp.where(
         jnp.asarray(has_seg)[:, None, None, None], pred_masks, 0.0
@@ -116,12 +117,6 @@ def evaluate_batch(
     pred_masks_original = None
     if meta is not None and "resize_list" in meta and "label_list" in meta:
         from interactvlm_tpu.models.sam.sam import postprocess_masks
-
-        low = model.apply(
-            params, jnp.asarray(seg_hidden), jnp.asarray(token_id),
-            batch["sam_images"], batch["cam_params"], contact_type,
-            method=InteractVLM.low_res_masks_from_seg_hidden,
-        )
         pred_masks_original = []
         for b in range(B):
             orig = np.asarray(meta["label_list"][b]).shape[:2]

@@ -254,7 +254,7 @@ def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):
     from interactvlm_tpu.ops.flash_attention import _pick_block
 
     bq = _pick_block(L)
-    bk = bq if bq % _grid_pad_width(W, bq) == 0 else BLOCK_K
+    bk = bq  # _grid_pad_width always returns a divisor of bk
     Wp = _grid_pad_width(W, bk)
     Lg = H * Wp  # grid-padded token count
 

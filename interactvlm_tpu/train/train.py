@@ -366,6 +366,10 @@ def main(argv=None):
             jax.tree.map(lambda x: x[0], example) if accum > 1 else example
         )
         val_fn = None
+        # one jit wrapper for the image-panel forward: a fresh jax.jit per
+        # epoch would recompile every validation (the axon remote compile
+        # bypasses the local cache)
+        panel_fn = jax.jit(model.apply)
 
         for epoch in range(start_epoch, args.epochs):
             for it in range(args.steps_per_epoch):
@@ -418,7 +422,7 @@ def main(argv=None):
                            {f"val/{k}": v for k, v in vres.items()})
                 # image panel: CLIP | SAM view | pred | GT on one sample
                 # (reference utils/utils.py:457-470)
-                fwd = jax.jit(model.apply)(state.params, first_micro)
+                fwd = panel_fn(state.params, first_micro)
                 logger.log_images(
                     int(state.step), "val/panel",
                     mask_panel(

@@ -69,6 +69,7 @@ def main():
                 mlp_dim: int
                 out_dim: int
                 dtype: jnp.dtype = jnp.float32
+                gelu_approx: bool = True  # Block passes it; always tanh
 
                 @nn.compact
                 def __call__(self, x):

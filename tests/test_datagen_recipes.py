@@ -71,7 +71,7 @@ def segm(body):
 
 
 def put_image(root, name):
-    os.makedirs(join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.dirname(join(root, "images", name)), exist_ok=True)
     Image.fromarray(
         np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
     ).save(join(root, "images", name))
@@ -148,6 +148,23 @@ class TestDamonRecipe:
         assert s.gt_contact_3d.sum() > 0
         # the generated grey renders carry a valid (non-white) body region
         assert (s.masks != -1).any()
+
+    def test_path_qualified_image_names(self, tmp_path, body, segm):
+        """Masks must be keyed by the image BASENAME (reference
+        hcontact_3d.py:61) so path-qualified names (RICH-style
+        'seq/cam/frame.jpg') close the datagen -> loader loop."""
+        from interactvlm_tpu.data.datasets import HContactDataset
+
+        verts, faces = body
+        root = str(tmp_path)
+        put_image(root, "seq01/cam2/f001.jpg")
+        generate_damon_tree(
+            root, {"seq01/cam2/f001.jpg": {"chair": np.arange(0, 30)}},
+            verts, faces, HUMAN_VIEWS["4MV-Z_Vitru_mv2"], S, segm,
+        )
+        ds = HContactDataset(root, image_size=S, parts_dropout=0.0)
+        s = ds[0]  # raises FileNotFoundError if stems disagree
+        assert s.gt_contact_3d.sum() > 0
 
     def test_rich_recipe_scene_class(self, tmp_path, body, segm):
         from interactvlm_tpu.data.datasets import HContactDataset
