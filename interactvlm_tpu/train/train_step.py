@@ -153,6 +153,7 @@ def make_train_step(
     loss_key: str = "loss",
     donate: bool = True,
     accum_steps: int = 1,
+    param_mask=None,
 ):
     """Build the jit-compiled train step. The batch is sharded over
     ``data`` on its leading axis; pjit inserts the gradient psum.
@@ -161,13 +162,31 @@ def make_train_step(
     stacked on a leading axis (batch leaves shaped (accum, micro, ...)),
     matching the reference's manual inner loop (train.py:518-560) as one
     compiled lax.scan.
+
+    ``param_mask`` (params -> bool tree, default the freeze policy's
+    ``trainable_mask``) routes FROZEN params around autodiff: their values
+    come from a stop-gradient closure, so no tangents enter the frozen
+    towers at all. Differentiating the full tree instead (a) pays a wasted
+    backward through the frozen SAM/CLIP encoders and (b) fails outright
+    on TPU, where the frozen SAM encoder runs Pallas kernels that have no
+    JVP rule (jax.grad linearizes every input with a tangent).
     """
+    if param_mask is None:
+        from interactvlm_tpu.train.optimizer import trainable_mask
+
+        param_mask = trainable_mask
 
     batch_sharding = batch_shardings(example_batch, mesh)
 
     def grads_of(params, batch):
-        def loss_fn(params):
-            out = model.apply(params, batch)
+        mask = param_mask(params)  # static bool tree
+        frozen = jax.lax.stop_gradient(params)
+
+        def loss_fn(p):
+            merged = jax.tree.map(
+                lambda pt, pf, m: pt if m else pf, p, frozen, mask
+            )
+            out = model.apply(merged, batch)
             return out[loss_key], out
 
         (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
