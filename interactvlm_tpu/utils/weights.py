@@ -345,13 +345,17 @@ def cast_serving_params(params: Dict, dtype) -> Dict:
 
     def walk(name, node):
         if isinstance(node, dict):
+            if set(node) == {"q", "scale"}:  # quantized-kernel dict
+                return node
             return {k: walk(k, v) for k, v in node.items()}
+        # 'kernel_scale' is an Int8Dense quantization scale (stays f32);
+        # a bare 'scale' here is a LayerNorm/RMSNorm gain and casts fine
         if (
             hasattr(node, "dtype")
             and node.dtype == jnp.float32
-            and "scale" not in name
+            and "kernel_scale" not in name
         ):
-            return jax.tree.map(lambda x: x.astype(dtype), node)
+            return node.astype(dtype)
         return node
 
     return walk("", params)

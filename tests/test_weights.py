@@ -284,9 +284,11 @@ def test_cast_serving_params_dtypes():
                        "kernel_scale": jnp.ones((1, 4), jnp.float32)},
         "quantized": {"kernel": {"q": jnp.ones((4, 4), jnp.int8),
                                  "scale": jnp.ones((1, 4), jnp.float32)}},
+        "norm": {"scale": jnp.ones((4,), jnp.float32)},  # LayerNorm gain
         "ids": jnp.zeros((3,), jnp.int32),
     }
     out = cast_serving_params(tree, jnp.bfloat16)
+    assert out["norm"]["scale"].dtype == jnp.bfloat16
     assert out["dense"]["kernel"].dtype == jnp.bfloat16
     assert out["dense"]["bias"].dtype == jnp.bfloat16
     assert out["int8_dense"]["kernel_q"].dtype == jnp.int8
