@@ -39,11 +39,29 @@ import time
 import jax
 
 # persistent compilation cache: bench re-runs each round should skip the
-# multi-minute remote compile of the full-size encoder
+# multi-minute remote compile of the full-size encoder. The dir is scoped
+# by the host CPU's feature set: jax's cache key does NOT include host CPU
+# features, and CPU executables AOT-compiled on a different machine load
+# with SIGILL warnings (observed across round driver hosts).
+
+
+def _host_cache_dir() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith("flags")), ""
+            )
+        tag = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    except OSError:
+        tag = "nohost"
+    return os.path.expanduser(f"~/.cache/jax_ivlm_{tag}")
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                   os.path.expanduser("~/.cache/jax_ivlm")),
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", _host_cache_dir()),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
