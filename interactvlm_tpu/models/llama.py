@@ -231,18 +231,39 @@ class LlamaAttention(nn.Module):
             new_cache["valid"] = jax.lax.dynamic_update_slice(
                 cache["valid"], seg_valid, (0, idx)
             )
-            if not int8_cache:
-                k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
-            # mask: key positions beyond idx + L are invalid; causal within;
-            # padded key slots (valid == 0) never attended.
-            Lk = new_cache["k"].shape[1]
-            kpos = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 1)
-            causal_vis = kpos <= (idx + jax.lax.broadcasted_iota(
-                jnp.int32, (L, Lk), 0
-            ))
-            visible = causal_vis[None] & (new_cache["valid"][:, None, :] > 0)
-            bias = jnp.where(visible, 0.0, jnp.float32(-1e9))[:, None]
-            causal = False
+            if L > 1:
+                # prefill chunk over a fresh cache (the only L>1 caller,
+                # LlavaModel.prefill): attention reduces to causal attention
+                # WITHIN the chunk over the exact (pre-quantization) k/v --
+                # identical numerics, and the masked full-cache form below
+                # would materialize (B, nh, L, Lmax) f32 logits per layer
+                # (~440 MB at 7B batch 8). The no-cache path handles it
+                # (flash kernel on TPU with per-row kv lengths).
+                int8_cache = False
+                bias = None
+                causal = True
+                kv_lengths = None
+                if attn_mask is not None:
+                    kv_lengths = attn_mask.sum(axis=-1).astype(jnp.int32)
+                    bias = jnp.where(
+                        attn_mask[:, None, None, :] > 0, 0.0,
+                        jnp.float32(-1e9),
+                    )
+            else:
+                if not int8_cache:
+                    k, v = k_all.astype(x.dtype), v_all.astype(x.dtype)
+                # mask: key positions beyond idx + L are invalid; causal
+                # within; padded key slots (valid == 0) never attended.
+                Lk = new_cache["k"].shape[1]
+                kpos = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 1)
+                causal_vis = kpos <= (idx + jax.lax.broadcasted_iota(
+                    jnp.int32, (L, Lk), 0
+                ))
+                visible = causal_vis[None] & (
+                    new_cache["valid"][:, None, :] > 0
+                )
+                bias = jnp.where(visible, 0.0, jnp.float32(-1e9))[:, None]
+                causal = False
         else:
             bias = None
             causal = True
@@ -292,8 +313,10 @@ class LlamaAttention(nn.Module):
             vh = v.transpose(0, 2, 1, 3)
             import jax as _jax
 
+            # causal==True covers both the no-cache path and prefill
+            # chunks over a fresh cache (chunk-local attention)
             if (
-                cache is None
+                causal
                 and _jax.default_backend() == "tpu"
                 and L >= 256
             ):
