@@ -624,3 +624,40 @@ def test_pascal_part_layout(tmp_path):
         d.rng = _random.Random(i)
         names.add(d[0].sampled_classes[0])
     assert names == {"dog head", "the head of the dog"}
+
+
+def test_semseg_lisa_all_ignore_fallback(tmp_path):
+    """An all-ignore label map falls through to the next item (bounded);
+    a fully-ignore dataset raises instead of recursing."""
+    import json
+    import random as _random
+
+    from interactvlm_tpu.data.datasets import SemSegLISADataset
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    for stem, lab_val in (("a", 255), ("b", 1)):
+        p = join(tmp_path, "ade20k", "images", "training", f"{stem}.jpg")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(img).save(p)
+        lab = np.full((16, 16), lab_val, np.uint8)
+        q = join(tmp_path, "ade20k", "annotations", "training",
+                 f"{stem}.png")
+        os.makedirs(os.path.dirname(q), exist_ok=True)
+        Image.fromarray(lab).save(q)
+    with open(join(tmp_path, "ade20k", "ade20k_classes.json"), "w") as f:
+        json.dump(["wall"], f)
+    d = SemSegLISADataset(str(tmp_path), dataset="ade20k", image_size=64,
+                          clip_size=32, rng=_random.Random(0))
+    s = d[0]  # item 0 is all-255 (ignore after remap) -> falls to item 1
+    assert s.sampled_classes == ["wall"]
+
+    # degenerate: every item all-ignore -> clear error, no recursion
+    lab = np.full((16, 16), 255, np.uint8)
+    Image.fromarray(lab).save(
+        join(tmp_path, "ade20k", "annotations", "training", "b.png")
+    )
+    d2 = SemSegLISADataset(str(tmp_path), dataset="ade20k", image_size=64,
+                           clip_size=32, rng=_random.Random(0))
+    with pytest.raises(ValueError):
+        d2[0]

@@ -238,3 +238,34 @@ class TestFitLoop:
         final_t = np.asarray(best.translation)
         # object center should approach the human center (0, 0, 3)
         assert np.linalg.norm(final_t - np.array([0, 0, 3.0])) < 0.6
+
+
+def test_fit_human_object_writes_video(tmp_path):
+    """video_path wiring: fit_human_object renders the trajectory GIF."""
+    from interactvlm_tpu.fit.fit import fit_human_object
+
+    overts, ofaces = uv_sphere(n_lat=8, n_lon=10, radius=0.3)
+    hverts, hfaces = uv_sphere(n_lat=8, n_lon=10, radius=0.5)
+    hverts = hverts + np.array([0, 0, 3.0], np.float32)
+    S = 64
+    mask = np.zeros((S, S), np.float32)
+    mask[20:40, 25:45] = 1.0
+    scene = {
+        "obj_verts": overts, "obj_faces": ofaces,
+        "hum_verts": hverts, "hum_faces": hfaces,
+        "obj_contact_probs": (overts[:, 1] > 0.2).astype(np.float32),
+        "hum_contact_probs": (hverts[:, 1] < 2.8).astype(np.float32),
+        "target_mask": mask, "focal": np.array([80.0, 80.0]),
+        "princpt": np.array([S / 2, S / 2], np.float32),
+        "centroid_offset": np.zeros(3, np.float32),
+    }
+    out = str(tmp_path / "traj.gif")
+    best, diag = fit_human_object(
+        scene, num_steps=12, image_size=S, use_icp=False,
+        video_path=out, video_every=5,
+    )
+    assert diag["video_path"] == out
+    from PIL import Image
+
+    assert Image.open(out).size == (S, S)
+    assert np.isfinite(float(diag["best_loss"]))
