@@ -48,12 +48,18 @@ import jax
 def _host_cache_dir() -> str:
     import hashlib
 
+    import platform
+
     try:
         with open("/proc/cpuinfo") as f:
+            # x86 lists 'flags'; aarch64 lists 'Features'
             flags = next(
-                (ln for ln in f if ln.startswith("flags")), ""
+                (ln for ln in f
+                 if ln.startswith(("flags", "Features"))), ""
             )
-        tag = hashlib.sha1(flags.encode()).hexdigest()[:8]
+        tag = hashlib.sha1(
+            (platform.machine() + flags).encode()
+        ).hexdigest()[:8]
     except OSError:
         tag = "nohost"
     return os.path.expanduser(f"~/.cache/jax_ivlm_{tag}")

@@ -1204,10 +1204,10 @@ class SemSegLISADataset(BaseContactDataset):
             else:
                 name = cls
         else:
-            img_path = self.images[idx]
-            img = load_image_rgb(img_path)
             # all-ignore items fall through to the next item, bounded by one
-            # pass over the dataset (reference restarts at item 0, :263-265)
+            # pass over the dataset (reference restarts at item 0, :263-265).
+            # Only label PNGs are decoded while scanning; the (far bigger)
+            # RGB image loads once the item is settled.
             present = []
             for _ in range(len(self)):
                 lab = self._remap(np.asarray(_I.open(self.labels[idx])))
@@ -1217,12 +1217,12 @@ class SemSegLISADataset(BaseContactDataset):
                 if present:
                     break
                 idx = (idx + 1) % len(self)
-                img_path = self.images[idx]
-                img = load_image_rgb(img_path)
             if not present:
                 raise ValueError(
                     f"sem_seg {self.dataset}: every label map is all-ignore"
                 )
+            img_path = self.images[idx]
+            img = load_image_rgb(img_path)
             class_id = int(self.rng.choice(present))
             mask = (lab == class_id).astype(np.float32)
             name = self.classes[class_id]

@@ -171,6 +171,7 @@ class LlamaAttention(nn.Module):
         positions,
         attn_mask: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
+        fresh_cache: bool = True,
     ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
         cfg = self.config
         B, L, _ = x.shape
@@ -231,7 +232,7 @@ class LlamaAttention(nn.Module):
             new_cache["valid"] = jax.lax.dynamic_update_slice(
                 cache["valid"], seg_valid, (0, idx)
             )
-            if L > 1:
+            if L > 1 and fresh_cache:
                 # prefill chunk over a fresh cache (the only L>1 caller,
                 # LlavaModel.prefill): attention reduces to causal attention
                 # WITHIN the chunk over the exact (pre-quantization) k/v --
@@ -356,11 +357,12 @@ class LlamaBlock(nn.Module):
     config: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, positions, attn_mask=None, cache=None):
+    def __call__(self, x, positions, attn_mask=None, cache=None,
+                 fresh_cache=True):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="input_layernorm")(x)
         attn_out, new_cache = LlamaAttention(cfg, name="self_attn")(
-            h, positions, attn_mask, cache
+            h, positions, attn_mask, cache, fresh_cache
         )
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, cfg.dtype, name="post_attention_layernorm")(x)
@@ -406,8 +408,13 @@ class LlamaModel(nn.Module):
         positions=None,
         attn_mask=None,
         caches: Optional[Tuple[KVCache, ...]] = None,
+        fresh_cache: bool = True,
     ):
-        """Returns (hidden_states (B, L, H) post-final-norm, new_caches)."""
+        """Returns (hidden_states (B, L, H) post-final-norm, new_caches).
+
+        ``fresh_cache`` (static): an L>1 chunk over a FRESH cache attends
+        chunk-locally via the flash path; pass False for an L>1 chunk on a
+        partially filled cache (idx>0) to keep the idx-aware masked form."""
         cfg = self.config
         B, L, _ = inputs_embeds.shape
         if positions is None:
@@ -416,7 +423,7 @@ class LlamaModel(nn.Module):
         new_caches = []
         for i, blk in enumerate(self.blocks):
             cache_i = caches[i] if caches is not None else None
-            x, nc = blk(x, positions, attn_mask, cache_i)
+            x, nc = blk(x, positions, attn_mask, cache_i, fresh_cache)
             new_caches.append(nc)
         x = self.norm(x)
         return x, (tuple(new_caches) if caches is not None else None)
@@ -441,8 +448,10 @@ class LlamaForCausalLM(nn.Module):
         return self.lm_head(h), h
 
     def forward_embeds(self, inputs_embeds, positions=None, attn_mask=None,
-                       caches=None):
-        h, new_caches = self.model(inputs_embeds, positions, attn_mask, caches)
+                       caches=None, fresh_cache=True):
+        h, new_caches = self.model(
+            inputs_embeds, positions, attn_mask, caches, fresh_cache
+        )
         return self.lm_head(h), h, new_caches
 
     def embed(self, input_ids):

@@ -114,6 +114,9 @@ def _pick_block(L: int, cap: int | None = None) -> int:
 
     if cap is None:
         cap = int(os.environ.get("IVLM_FLASH_BLOCK_CAP", "512"))
+    # snap to a power of two >= 128: non-power-of-two blocks are not
+    # Mosaic-tileable and would skip the intermediate sizes when halving
+    cap = max(128, 1 << (max(cap, 128).bit_length() - 1))
     b = cap
     while b > 128:
         if L >= b and L % b == 0:

@@ -115,3 +115,35 @@ def make_synthetic_batch(
         "human_bary": jnp.asarray(bary),
         "obj_p2p": jnp.asarray(p2p),
     }
+
+
+def greedy_decode_lm(model, params, ids, caches, total_steps: int):
+    """Tiny greedy KV-cache decode used by the multichip dryrun and the
+    quantization-parity tests: prefill ``ids`` then emit
+    ``total_steps - ids.shape[1]`` tokens, returning (B, T) emitted ids.
+
+    Shared so every caller tracks the ``forward_embeds`` signature.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from interactvlm_tpu.models.llama import LlamaForCausalLM
+
+    B, L0 = ids.shape
+    emb = model.apply(params, ids, method=LlamaForCausalLM.embed)
+    pos = jnp.broadcast_to(jnp.arange(L0)[None], (B, L0))
+    lg, _, caches = model.apply(
+        params, emb, pos, None, caches,
+        method=LlamaForCausalLM.forward_embeds,
+    )
+    tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+    out = [np.asarray(tok)]
+    for t in range(L0, total_steps):
+        e = model.apply(params, tok[:, None], method=LlamaForCausalLM.embed)
+        lg, _, caches = model.apply(
+            params, e, jnp.full((B, 1), t), None, caches,
+            method=LlamaForCausalLM.forward_embeds,
+        )
+        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        out.append(np.asarray(tok))
+    return np.stack(out, axis=1)

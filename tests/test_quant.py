@@ -162,32 +162,16 @@ def test_int8_kv_decode_parity_gqa():
     from interactvlm_tpu.models.llama import LlamaForCausalLM, init_kv_cache
     from interactvlm_tpu.ops.quant import init_kv_cache_int8
 
+    from interactvlm_tpu.utils.testing import greedy_decode_lm
+
     cfg = dataclasses.replace(llama_tiny(), num_kv_heads=2)
     model = LlamaForCausalLM(cfg)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), ids)
 
-    def decode(caches):
-        emb = model.apply(params, ids, method=LlamaForCausalLM.embed)
-        pos = jnp.broadcast_to(jnp.arange(6)[None], (2, 6))
-        lg, _, caches = model.apply(
-            params, emb, pos, None, caches,
-            method=LlamaForCausalLM.forward_embeds,
-        )
-        toks = [np.asarray(jnp.argmax(lg[:, -1], -1))]
-        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
-        for t in range(6, 10):
-            e = model.apply(params, tok[:, None],
-                            method=LlamaForCausalLM.embed)
-            lg, _, caches = model.apply(
-                params, e, jnp.full((2, 1), t), None, caches,
-                method=LlamaForCausalLM.forward_embeds,
-            )
-            tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
-            toks.append(np.asarray(tok))
-        return np.stack(toks)
-
-    dense = decode(init_kv_cache(cfg, 2, 12))
-    int8 = decode(init_kv_cache_int8(cfg, 2, 12))
+    dense = greedy_decode_lm(model, params, ids,
+                             init_kv_cache(cfg, 2, 12), total_steps=10)
+    int8 = greedy_decode_lm(model, params, ids,
+                            init_kv_cache_int8(cfg, 2, 12), total_steps=10)
     assert (dense == int8).all(), (dense, int8)
