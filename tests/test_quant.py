@@ -175,3 +175,41 @@ def test_int8_kv_decode_parity_gqa():
     int8 = greedy_decode_lm(model, params, ids,
                             init_kv_cache_int8(cfg, 2, 12), total_steps=10)
     assert (dense == int8).all(), (dense, int8)
+
+
+def test_second_chunk_needs_masked_cache_form():
+    """An L>1 chunk on a PARTIALLY filled cache must use the idx-aware
+    masked form (fresh_cache=False): feeding a prompt in two chunks then
+    decoding matches the single-chunk prefill decode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from interactvlm_tpu.config import llama_tiny
+    from interactvlm_tpu.models.llama import LlamaForCausalLM, init_kv_cache
+
+    cfg = llama_tiny()
+    model = LlamaForCausalLM(cfg)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    def prefill(chunks, fresh_flags):
+        caches = init_kv_cache(cfg, 2, 12)
+        start = 0
+        for c, fresh in zip(chunks, fresh_flags):
+            L = c.shape[1]
+            emb = model.apply(params, c, method=LlamaForCausalLM.embed)
+            pos = jnp.broadcast_to(
+                jnp.arange(start, start + L)[None], (2, L)
+            )
+            lg, _, caches = model.apply(
+                params, emb, pos, None, caches, fresh,
+                method=LlamaForCausalLM.forward_embeds,
+            )
+            start += L
+        return np.asarray(jnp.argmax(lg[:, -1], -1))
+
+    want = prefill([ids], [True])
+    got = prefill([ids[:, :5], ids[:, 5:]], [True, False])
+    assert (want == got).all(), (want, got)
