@@ -190,12 +190,17 @@ def main():
     else:
         lcfg = llama_tiny(dtype=dtype, weights_int8=wq == "int8")
     # serving numerics: tanh GELU in the SAM encoder (<=3e-3 activation
-    # deviation vs exact erf, ~10% of encode wall time on the v5e VPU)
+    # deviation vs exact erf, ~10% of encode wall time on the v5e VPU).
+    # BENCH_SAM_WQ=int8 additionally runs the encoder matmuls int8x int8
+    # (2x MXU peak; opt-in -- the reference's bnb mode skips vision towers)
     gelu_approx = os.environ.get("BENCH_GELU", "tanh") == "tanh" and on_tpu
+    sam_int8 = os.environ.get("BENCH_SAM_WQ", "bf16") == "int8" and on_tpu
     if sam_size == "vit_h":
-        scfg = sam_vit_h(dtype=dtype, gelu_approx=gelu_approx)
+        scfg = sam_vit_h(dtype=dtype, gelu_approx=gelu_approx,
+                         weights_int8=sam_int8)
     elif sam_size == "vit_b":
-        scfg = sam_vit_b(dtype=dtype, gelu_approx=gelu_approx)
+        scfg = sam_vit_b(dtype=dtype, gelu_approx=gelu_approx,
+                         weights_int8=sam_int8)
     else:  # vit_b_small CPU smoke config
         import dataclasses
 
@@ -361,7 +366,8 @@ def main():
 
     print(json.dumps({
         "metric": (f"e2e_evaluate_images_per_sec_llama{llama_size}-{wq}_"
-                   f"{sam_size}_{V}view_b{B}_t{T}"),
+                   f"{sam_size}{'-int8' if sam_int8 else ''}_"
+                   f"{V}view_b{B}_t{T}"),
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_E2E_IMAGES_PER_SEC, 4),

@@ -41,6 +41,11 @@ class SAMConfig:
     # of ViT-H encode wall time on a v5e VPU (scripts/sam_probe.py) for a
     # <=3e-3 activation deviation; default False = reference numerics
     gelu_approx: bool = False
+    # int8 encoder matmuls (qkv/proj/mlp; convs stay bf16): serving-only
+    # opt-in -- the reference's bnb int8 mode deliberately SKIPS the vision
+    # towers (run_demo.py:106-129), so default False preserves its policy.
+    # int8xint8 runs the v5e MXU at 2x bf16 peak.
+    weights_int8: bool = False
 
     @property
     def image_embedding_size(self) -> int:

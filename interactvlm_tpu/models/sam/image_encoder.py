@@ -20,17 +20,41 @@ from interactvlm_tpu.config import SAMConfig
 from interactvlm_tpu.ops import dot_product_attention
 
 
+def _enc_dense(features, name, dtype, use_bias=True, int8=False):
+    """Encoder linear: nn.Dense, or Int8Dense for the int8 serving mode
+    (SAMConfig.weights_int8; biases stay separate params either way)."""
+    if int8:
+        from interactvlm_tpu.models.llama import Int8Dense
+
+        class _Int8WithBias(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                y = Int8Dense(features, (None, None), dtype,
+                              name="int8")(x)
+                if use_bias:
+                    b = self.param("bias", nn.initializers.zeros,
+                                   (features,))
+                    y = y + b.astype(y.dtype)
+                return y
+
+        return _Int8WithBias(name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class MLPBlock(nn.Module):
     mlp_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
     gelu_approx: bool = False  # tanh GELU: see SAMConfig.gelu_approx
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        x = _enc_dense(self.mlp_dim, "lin1", self.dtype,
+                       int8=self.int8)(x)
         x = nn.gelu(x, approximate=self.gelu_approx)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="lin2")(x)
+        return _enc_dense(self.out_dim, "lin2", self.dtype,
+                          int8=self.int8)(x)
 
 
 def window_partition(x, window_size: int):
@@ -98,12 +122,14 @@ class Attention(nn.Module):
     use_rel_pos: bool = True
     input_size: Optional[Tuple[int, int]] = None
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, H, W, _ = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = _enc_dense(self.dim * 3, "qkv", self.dtype,
+                         int8=self.int8)(x)
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, HW, nH, d)
         q = q.transpose(0, 2, 1, 3)  # (B, nH, HW, d)
@@ -162,7 +188,8 @@ class Attention(nn.Module):
         else:
             out = dot_product_attention(q, k, v, scale=head_dim**-0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return _enc_dense(self.dim, "proj", self.dtype,
+                          int8=self.int8)(out)
 
 
 class Block(nn.Module):
@@ -173,6 +200,7 @@ class Block(nn.Module):
     input_size: Tuple[int, int]
     dtype: jnp.dtype = jnp.float32
     gelu_approx: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -189,6 +217,7 @@ class Block(nn.Module):
             self.num_heads,
             input_size=attn_size,
             dtype=self.dtype,
+            int8=self.int8,
             name="attn",
         )(x)
         if self.window_size > 0:
@@ -197,7 +226,7 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MLPBlock(
             int(self.dim * self.mlp_ratio), self.dim, self.dtype,
-            gelu_approx=self.gelu_approx, name="mlp"
+            gelu_approx=self.gelu_approx, int8=self.int8, name="mlp"
         )(y)
         return x + y
 
@@ -239,6 +268,7 @@ class ImageEncoderViT(nn.Module):
                 input_size=(grid, grid),
                 dtype=cfg.dtype,
                 gelu_approx=cfg.gelu_approx,
+                int8=cfg.weights_int8,
                 name=f"block_{i}",
             )(x)
 

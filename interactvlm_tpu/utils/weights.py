@@ -330,6 +330,33 @@ def int8_serving_params(params: Dict, targets=_INT8_TARGETS) -> Dict:
     return walk("", params)
 
 
+_SAM_INT8_TARGETS = ("qkv", "proj", "lin1", "lin2")
+
+
+def int8_sam_encoder_params(params: Dict, targets=_SAM_INT8_TARGETS) -> Dict:
+    """Convert a bf16/f32 SAM image-encoder param tree to the int8 serving
+    layout consumed by ``SAMConfig(weights_int8=True)``: each targeted
+    linear's {kernel, bias} becomes {int8: {kernel_q, kernel_scale}, bias}
+    (``models/sam/image_encoder.py:_enc_dense``). Convs and norms stay
+    as-is (mirrors the reference bnb policy granularity)."""
+    from interactvlm_tpu.ops.quant import quantize_int8
+
+    import jax.numpy as jnp
+
+    def walk(name, node):
+        if isinstance(node, dict):
+            if name in targets and "kernel" in node:
+                q, s = quantize_int8(jnp.asarray(node["kernel"]), axis=0)
+                out = {"int8": {"kernel_q": q, "kernel_scale": s}}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: walk(k, v) for k, v in node.items()}
+        return node
+
+    return walk("", params)
+
+
 def cast_serving_params(params: Dict, dtype) -> Dict:
     """Cast float32 param leaves to the serving compute dtype (bf16), ONCE.
 

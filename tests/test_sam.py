@@ -144,3 +144,38 @@ def test_diff_decoder_domains():
     mo, _ = model.apply(params, emb, text, "oafford", method=Sam.decode_masks)
     # separately initialized decoders must differ
     assert not np.allclose(np.asarray(mh), np.asarray(mo))
+
+
+def test_int8_encoder_serving_parity():
+    """SAMConfig.weights_int8: a dense-trained encoder converted via
+    int8_sam_encoder_params reproduces the bf16 encoder's features within
+    int8 tolerance on the tiny config (opt-in serving mode; the reference
+    bnb path skips vision towers, so default stays dense)."""
+    import dataclasses
+
+    from interactvlm_tpu.config import sam_tiny
+    from interactvlm_tpu.models.sam.image_encoder import ImageEncoderViT
+    from interactvlm_tpu.utils.weights import int8_sam_encoder_params
+
+    cfg = sam_tiny()
+    enc = ImageEncoderViT(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, cfg.img_size, cfg.img_size, 3))
+    params = enc.init(key, x)
+    want = enc.apply(params, x)
+
+    qcfg = dataclasses.replace(cfg, weights_int8=True)
+    qenc = ImageEncoderViT(qcfg)
+    qparams = {"params": int8_sam_encoder_params(params["params"])}
+    import flax.linen as nn
+
+    # structures must match the int8 module's own init (unbox the
+    # logical-partitioning metadata before comparing)
+    want_tree = jax.tree_util.tree_structure(
+        nn.meta.unbox(qenc.init(key, x))
+    )
+    assert jax.tree_util.tree_structure(qparams) == want_tree
+    got = qenc.apply(qparams, x)
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    rel = err.mean() / (np.abs(np.asarray(want)).mean() + 1e-8)
+    assert rel < 0.1, rel
