@@ -271,6 +271,34 @@ class TestSAMConversion:
         )
         assert np.isfinite(np.asarray(masks)).all()
 
+        # official pth -> int8 serving chain: the converted encoder also
+        # loads through the int8 encoder (SAMConfig.weights_int8)
+        import dataclasses
+
+        from interactvlm_tpu.models.sam.image_encoder import ImageEncoderViT
+        from interactvlm_tpu.utils.weights import int8_sam_encoder_params
+
+        qenc = ImageEncoderViT(dataclasses.replace(cfg, weights_int8=True))
+        px = jnp.asarray(
+            np.random.default_rng(1).normal(
+                size=(1, cfg.img_size, cfg.img_size, 3)
+            ),
+            jnp.float32,
+        )
+        dense_feats = ImageEncoderViT(cfg).apply(
+            {"params": converted["image_encoder"]}, px
+        )
+        q_feats = qenc.apply(
+            {"params": int8_sam_encoder_params(
+                converted["image_encoder"]
+            )}, px,
+        )
+        rel = float(
+            np.abs(np.asarray(q_feats) - np.asarray(dense_feats)).mean()
+            / (np.abs(np.asarray(dense_feats)).mean() + 1e-8)
+        )
+        assert rel < 0.1, rel
+
 
 def test_cast_serving_params_dtypes():
     """f32 leaves cast once to bf16; int8 kernels and quantization scales
