@@ -80,8 +80,18 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 import jax.numpy as jnp
 import numpy as np
 
-# provisional A100 denominator for the end-to-end 7B pipeline (docstring)
-BASELINE_E2E_IMAGES_PER_SEC = 1.15
+# Provisional A100 denominator for the end-to-end reference pipeline
+# (docstring derivation). The reference publishes NO throughput, so these
+# are estimates from public per-component numbers with a sensitivity band
+# (VERDICT r2 #7): SAM ViT-H 70-110 ms/view x4 serial, HF bf16 generate
+# 8-15 ms/token (7B) / 16-26 ms/token (13B) x32 + prefill, 50-150 ms
+# CLIP + mask-decode + lift overhead.
+#   7B : 0.61-1.12 s/image -> 0.9-1.6 images/sec (mid 1.15)
+#   13B: 0.95-1.65 s/image -> 0.6-1.05 images/sec (mid 0.75)
+BASELINE_E2E = {
+    "7b": (1.15, 0.9, 1.6),
+    "13b": (0.75, 0.6, 1.05),
+}
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
@@ -280,9 +290,11 @@ def main():
     t0 = time.perf_counter()
     llava_params = jax.jit(llava.init)(key, ids, clip_px)
     # store weights in the compute dtype ONCE: leaving them f32 makes flax
-    # re-cast every param at every use (cast buffers OOM'd batch 4)
+    # re-cast every param at every use (cast buffers OOM'd batch 4).
+    # donate: holding input+output trees would double weight HBM (fatal
+    # at 13B where int8 weights alone are ~12.3 GiB)
     llava_params = jax.jit(
-        lambda p: cast_serving_params(p, dtype)
+        lambda p: cast_serving_params(p, dtype), donate_argnums=0
     )(llava_params)
     log(f"llava init {time.perf_counter() - t0:.1f}s")
 
@@ -295,7 +307,7 @@ def main():
     t0 = time.perf_counter()
     tail_params = jax.jit(tail_init)(key, seg_h0, tok0, sam_px[:1], cams[:1])
     tail_params = jax.jit(
-        lambda p: cast_serving_params(p, dtype)
+        lambda p: cast_serving_params(p, dtype), donate_argnums=0
     )(tail_params)
     log(f"tail init {time.perf_counter() - t0:.1f}s")
 
@@ -361,16 +373,93 @@ def main():
         assert np.isfinite(sync)
     images_per_sec = B / dt
 
+    # ---- per-leg telemetry (stderr; VERDICT r2 #7): each leg timed as
+    # its own fori_loop jit so regressions are attributable. Compiles are
+    # served from the persistent cache after the first bench run.
+    if os.environ.get("BENCH_LEGS", "1") == "1":
+        def time_leg(fn, *args):
+            def looped(*a):
+                def body(i, acc):
+                    out = fn(acc, *a)
+                    return out.astype(jnp.float32)
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+            f = jax.jit(looped)
+            out = f(*args)
+            float(np.asarray(jax.device_get(out)))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = f(*args)
+                float(np.asarray(jax.device_get(out)))
+                best = min(best, (time.perf_counter() - t0) / iters)
+            return best * 1e3  # ms
+
+        def make_gen_leg(T_):
+            def gen_leg(acc, ids, clip_px, attn_mask):
+                g = greedy_generate(
+                    llava, llava_params, ids,
+                    clip_px + acc.astype(dtype) * 1e-6,
+                    max_new_tokens=T_, eos_id=-1, attn_mask=attn_mask,
+                    kv_cache=kv_kind,
+                )
+                return (g["step_hidden"].mean()
+                        + g["generated_ids"].sum() * 1e-12)
+
+            return gen_leg
+
+        def sam_leg(acc, sam_px):
+            emb = ivlm.apply(
+                tail_params, sam_px + acc.astype(dtype) * 1e-6,
+                method=InteractVLM.encode_sam_images,
+            )
+            return emb.mean()
+
+        def tail_leg(acc, seg_hidden, token_id, sam_px, cams):
+            masks = ivlm.apply(
+                tail_params, seg_hidden + acc.astype(dtype) * 1e-6,
+                token_id, sam_px, cams, mask_size,
+                method=InteractVLM.masks_from_seg_hidden,
+            )
+            return masks.mean()
+
+        def lift_leg(acc, masks, gidx, gw):
+            lifted = jax.vmap(
+                lambda m: lift_multiview_soft_gather(m, gidx, gw)
+            )(masks + acc.astype(masks.dtype) * 1e-6)
+            return lifted.mean()
+
+        seg_hidden_b = jnp.zeros((B, lcfg.hidden_size), dtype)
+        token_id_b = jnp.full((B,), seg_idx, jnp.int32)
+        masks_b = jnp.zeros((B, V, mask_size, mask_size), jnp.float32)
+        t_gen1 = time_leg(make_gen_leg(1), ids, clip_px, attn_mask)
+        t_genT = time_leg(make_gen_leg(T), ids, clip_px, attn_mask)
+        t_sam = time_leg(sam_leg, sam_px)
+        t_tail = time_leg(tail_leg, seg_hidden_b, token_id_b, sam_px, cams)
+        t_lift = time_leg(lift_leg, masks_b, gidx, gw)
+        log(f"legs(ms/batch of {B}): clip+prefill={t_gen1:.0f} "
+            f"decode({T}t)={t_genT - t_gen1:.0f} sam_encode={t_sam:.0f} "
+            f"mask_decode_tail={t_tail - t_sam:.0f} lift={t_lift:.0f} "
+            f"legs_total={t_genT + t_tail + t_lift:.0f} "
+            f"e2e={dt * 1e3:.0f}")
+
     flops = _flops_per_image(cfg, V, Lp, T, mask_size)
     mfu = images_per_sec * flops / V5E_BF16_PEAK_FLOPS if on_tpu else 0.0
 
+    base_mid, base_lo, base_hi = BASELINE_E2E.get(
+        llama_size, BASELINE_E2E["7b"]
+    )
     print(json.dumps({
         "metric": (f"e2e_evaluate_images_per_sec_llama{llama_size}-{wq}_"
                    f"{sam_size}{'-int8' if sam_int8 else ''}_"
                    f"{V}view_b{B}_t{T}"),
         "value": round(images_per_sec, 4),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / BASELINE_E2E_IMAGES_PER_SEC, 4),
+        "vs_baseline": round(images_per_sec / base_mid, 4),
+        # sensitivity band on the ESTIMATED A100 denominator (BASELINE.md)
+        "vs_baseline_range": [round(images_per_sec / base_hi, 4),
+                              round(images_per_sec / base_lo, 4)],
         "mfu": round(mfu, 4),
         "flops_per_image": flops,
         "kv_cache": kv_kind,

@@ -87,14 +87,28 @@ def collate(
     include_maps: bool = True,
     include_object_maps: bool = False,
     max_object_vertices: int = 8192,
+    num_conversations: int = 1,
 ) -> Dict[str, Any]:
     """Returns the model batch dict plus host-side metadata lists.
 
-    One conversation per sample feeds the step (the reference's multi-
-    conversation ``offset`` machinery collapses to B rows of one
-    conversation each -- datasets emit a single QA round per draw).
+    ``num_conversations`` > 1 restores the reference's multi-conversation
+    ``offset`` semantics (datasets sample up to 3 classes per image,
+    ``datasets/dataset.py:196,216-246``; per-sample unpack
+    ``InteractVLM.py:392-410``) in static-shape form: the batch has
+    exactly ``B * C`` conversation ROWS, ``images_clip`` / ``sam_images``
+    stay compact (one entry per image), and ``image_index`` maps rows to
+    images so each image is encoded ONCE. Samples with fewer than C
+    conversations contribute padding rows whose labels are all-IGNORE,
+    whose task id is VQA (no mask loss), and whose gt masks are IGNORE
+    everywhere -- they contribute exactly zero loss.
     """
     V = multiview_channels
+    if num_conversations > 1:
+        return _collate_multiconv(
+            samples, tokenizer, max_len, conv_type, use_mm_start_end,
+            V, num_human_vertices, num_object_points, human_maps,
+            include_maps, num_conversations,
+        )
     conversations = [s.conversations[0] for s in samples]
     tok = tokenize_conversations(
         conversations, tokenizer,
@@ -177,6 +191,104 @@ def collate(
         "sampled_classes_list": [s.sampled_classes for s in samples],
         "ds_name_list": [s.ds_name for s in samples],
         "mask_paths_list": [s.mask_paths for s in samples],
+        "inference": samples[0].inference,
+    }
+    return batch, meta
+
+
+def _conv_masks(s: Sample, ci: int, V: int) -> np.ndarray:
+    """Row mask stack for conversation ``ci`` of sample ``s``.
+
+    Multi-conversation samples carry masks (C, H, W) -- one per sampled
+    class, single view; contact samples carry (V or 1, H, W) views."""
+    m = np.asarray(s.masks)
+    if len(s.conversations) > 1:
+        return np.repeat(m[ci][None], V, axis=0)
+    return _repeat_views(m, V)
+
+
+def _collate_multiconv(
+    samples, tokenizer, max_len, conv_type, use_mm_start_end, V,
+    num_human_vertices, num_object_points, human_maps, include_maps, C,
+):
+    B = len(samples)
+    rows = []  # (sample_idx, conv_idx, is_pad)
+    for i, s in enumerate(samples):
+        n = min(len(s.conversations), C)
+        rows.extend((i, ci, False) for ci in range(n))
+    while len(rows) < B * C:
+        rows.append((0, 0, True))
+    rows = rows[: B * C]
+
+    conversations = [samples[i].conversations[ci] for i, ci, _ in rows]
+    tok = tokenize_conversations(
+        conversations, tokenizer,
+        max_len=max_len - 255 if not samples[0].inference else max_len,
+        conv_type=conv_type, use_mm_start_end=use_mm_start_end,
+    )
+    labels = np.asarray(tok["labels"])
+    for r, (_, _, pad) in enumerate(rows):
+        if pad:
+            labels[r] = -100  # zero CE contribution
+
+    image_index = np.array([i for i, _, _ in rows], np.int32)
+    task_ids = np.array(
+        [0 if pad else task_id_for(samples[i].ds_name)
+         for i, _, pad in rows], np.int32,
+    )
+    masks = np.stack([
+        np.full_like(_conv_masks(samples[i], ci, V), -1.0)
+        if pad else _conv_masks(samples[i], ci, V)
+        for i, ci, pad in rows
+    ])
+    cams = np.stack(
+        [_repeat_views(np.asarray(samples[i].cam_params), V)
+         for i, _, _ in rows]
+    )
+
+    R = len(rows)
+    gt_h = np.zeros((R, num_human_vertices), np.float32)
+    gt_oa = np.zeros((R, num_object_points), np.float32)
+    for r, (i, _, pad) in enumerate(rows):
+        if pad:
+            continue
+        v = np.asarray(samples[i].gt_contact_3d, np.float32).reshape(-1)
+        if task_ids[r] == 2 and v.size == num_human_vertices:
+            gt_h[r] = v
+        elif task_ids[r] == 3 and v.size == num_object_points:
+            gt_oa[r] = v
+
+    batch = {
+        "input_ids": tok["input_ids"],
+        "labels": labels,
+        "attn_mask": tok["attn_mask"],
+        "images_clip": np.stack([s.image_clip for s in samples]),
+        "sam_images": np.stack(
+            [_repeat_views(np.asarray(s.sam_images), V) for s in samples]
+        ),
+        "image_index": image_index,
+        "gt_masks": masks.astype(np.float32),
+        "cam_params": cams.astype(np.float32),
+        "task_ids": task_ids,
+        "gt_hcontact": gt_h,
+        "gt_oafford": gt_oa,
+    }
+    if include_maps and human_maps is not None:
+        batch["human_p2v"] = human_maps["p2v"]
+        batch["human_bary"] = human_maps["bary"]
+
+    meta = {
+        "image_paths": [samples[i].image_path for i, _, _ in rows],
+        "conversation_list": conversations,
+        "resize_list": [samples[i].resize for i, _, _ in rows],
+        "label_list": [samples[i].label for i, _, _ in rows],
+        "questions_list": [samples[i].questions for i, _, _ in rows],
+        "sampled_classes_list": [
+            samples[i].sampled_classes[ci: ci + 1] for i, ci, _ in rows
+        ],
+        "ds_name_list": [samples[i].ds_name for i, _, _ in rows],
+        "mask_paths_list": [samples[i].mask_paths for i, _, _ in rows],
+        "row_map": [(i, ci, pad) for i, ci, pad in rows],
         "inference": samples[0].inference,
     }
     return batch, meta

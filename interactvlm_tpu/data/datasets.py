@@ -78,6 +78,7 @@ class BaseContactDataset:
         conv_type: str = "llava_v1",
         token_type: str = "Gen",
         rng: Optional[random.Random] = None,
+        num_classes_per_sample: int = 1,
     ):
         self.base_dir = base_dir
         self.view_set = view_set
@@ -86,6 +87,11 @@ class BaseContactDataset:
         self.conv_type = conv_type
         self.token_type = token_type
         self.rng = rng or random.Random(42)
+        # reference num_classes_per_sample (datasets/dataset.py:196):
+        # seg-style datasets sample up to this many classes per image and
+        # emit one conversation + mask per class; collate flattens them to
+        # rows sharing the image encode (collate.py:_collate_multiconv)
+        self.num_classes_per_sample = num_classes_per_sample
 
     # --- image loading -------------------------------------------------
     def load_views(self, paths: Sequence[str]):
@@ -508,15 +514,29 @@ class HybridDataset:
         self.rates = rates / rates.sum()
         self.samples_per_epoch = samples_per_epoch
         self.rng = np.random.default_rng(seed)
+        # draws serialize under a lock so thread-pool loaders
+        # (runtime/prefetch.ParallelSampler) can fetch samples in
+        # parallel: np.random.Generator is not thread-safe, and only the
+        # (cheap) pick needs ordering -- the heavy per-sample IO runs
+        # outside the lock
+        import threading
+
+        self._lock = threading.Lock()
 
     def __len__(self):
         return self.samples_per_epoch
 
+    def pick(self):
+        """Thread-safe (dataset, element-index) draw."""
+        with self._lock:
+            ds = self.datasets[
+                int(self.rng.choice(len(self.datasets), p=self.rates))
+            ]
+            return ds, int(self.rng.integers(len(ds)))
+
     def __getitem__(self, idx: int) -> Sample:
-        ds = self.datasets[
-            int(self.rng.choice(len(self.datasets), p=self.rates))
-        ]
-        return ds[int(self.rng.integers(len(ds)))]
+        ds, j = self.pick()
+        return ds[j]
 
 
 class HContactSceneDataset(HContactDataset):
@@ -836,26 +856,37 @@ class ReferSegLISADataset(BaseContactDataset):
         img_path, h, w, image_id = self.records[idx]
         img = load_image_rgb(img_path)
         sam_img, resize = sam_preprocess(img, self.image_size)
-        ref = self.rng.choice(self.img2refs[image_id])
-        sent = self.rng.choice(ref["sentences"])["sent"]
-        mask = self._ref_mask(ref, h, w)
-        q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
-            class_name=sent.lower()
-        )
-        a = self.rng.choice(C.ANSWER_LIST)
-        conv = build_conversation(q, a, self.conv_type)
+        refs = self.img2refs[image_id]
+        n = min(self.num_classes_per_sample, len(refs))
+        picked = self.rng.sample(refs, n) if n > 1 else [
+            self.rng.choice(refs)
+        ]
+        convs, questions, sents, mask_list = [], [], [], []
+        first_mask = None
+        for ref in picked:
+            sent = self.rng.choice(ref["sentences"])["sent"]
+            mask = self._ref_mask(ref, h, w)
+            first_mask = mask if first_mask is None else first_mask
+            q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
+                class_name=sent.lower()
+            )
+            a = self.rng.choice(C.ANSWER_LIST)
+            convs.append(build_conversation(q, a, self.conv_type))
+            questions.append(q)
+            sents.append(sent)
+            mask_list.append(sam_label_preprocess(mask, self.image_size))
         return Sample(
             image_path=img_path,
             sam_images=sam_img[None],
             image_clip=self.load_clip_image(img_path),
-            conversations=[conv],
-            masks=sam_label_preprocess(mask, self.image_size)[None],
-            label=mask,
+            conversations=convs,
+            masks=np.stack(mask_list),
+            label=first_mask,
             gt_contact_3d=np.zeros(1, np.float32),
             cam_params=np.zeros((1, 5), np.float32),
             resize=resize,
-            questions=[q],
-            sampled_classes=[sent],
+            questions=questions,
+            sampled_classes=sents,
             ds_name=self.ds_name,
             mask_paths=[],
         )
@@ -1030,25 +1061,37 @@ class SemSegDataset(BaseContactDataset):
         label_ids = np.asarray(
             _I.open(join(self.folder, "labels", rec["label_file"]))
         )
-        name = self.rng.choice(sorted(rec["classes"]))
-        mask = (label_ids == rec["classes"][name]).astype(np.float32)
-        q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
-            class_name=name.lower()
+        all_names = sorted(rec["classes"])
+        n = min(self.num_classes_per_sample, len(all_names))
+        names = (
+            self.rng.sample(all_names, n) if n > 1
+            else [self.rng.choice(all_names)]
         )
-        a = self.rng.choice(C.ANSWER_LIST)
-        conv = build_conversation(q, a, self.conv_type)
+        convs, questions, mask_list = [], [], []
+        for name in names:
+            mask = (label_ids == rec["classes"][name]).astype(np.float32)
+            q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
+                class_name=name.lower()
+            )
+            a = self.rng.choice(C.ANSWER_LIST)
+            convs.append(build_conversation(q, a, self.conv_type))
+            questions.append(q)
+            mask_list.append(sam_label_preprocess(mask, self.image_size))
+        masks = np.stack(mask_list)
         return Sample(
             image_path=img_path,
             sam_images=sam_img[None],
             image_clip=self.load_clip_image(img_path),
-            conversations=[conv],
-            masks=sam_label_preprocess(mask, self.image_size)[None],
-            label=mask,
+            conversations=convs,
+            masks=masks,
+            label=(label_ids == rec["classes"][names[0]]).astype(
+                np.float32
+            ),
             gt_contact_3d=np.zeros(1, np.float32),
             cam_params=np.zeros((1, 5), np.float32),
             resize=resize,
-            questions=[q],
-            sampled_classes=[name],
+            questions=questions,
+            sampled_classes=names,
             ds_name=self.ds_name,
             mask_paths=[],
         )
@@ -1193,16 +1236,22 @@ class SemSegLISADataset(BaseContactDataset):
             else:
                 img_path = join(self.base_dir, "coco", info["file_name"])
             img = load_image_rgb(img_path)
-            ann = self.rng.choice(self.img_anns[img_id])
-            mask = _coco_ann_to_mask(ann, img.shape[0], img.shape[1])
-            cls = self.class_map[ann["category_id"]]
-            if isinstance(cls, tuple):
-                obj, part = cls
-                # 50/50 phrase forms (:229-235)
-                name = (obj + " " + part if self.rng.random() < 0.5
-                        else f"the {part} of the {obj}")
-            else:
-                name = cls
+            anns = self.img_anns[img_id]
+            n = min(self.num_classes_per_sample, len(anns))
+            picked = (self.rng.sample(anns, n) if n > 1
+                      else [self.rng.choice(anns)])
+            pairs = []
+            for ann in picked:
+                mask = _coco_ann_to_mask(ann, img.shape[0], img.shape[1])
+                cls = self.class_map[ann["category_id"]]
+                if isinstance(cls, tuple):
+                    obj, part = cls
+                    # 50/50 phrase forms (:229-235)
+                    name = (obj + " " + part if self.rng.random() < 0.5
+                            else f"the {part} of the {obj}")
+                else:
+                    name = cls
+                pairs.append((mask, name))
         else:
             # all-ignore items fall through to the next item, bounded by one
             # pass over the dataset (reference restarts at item 0, :263-265).
@@ -1223,28 +1272,37 @@ class SemSegLISADataset(BaseContactDataset):
                 )
             img_path = self.images[idx]
             img = load_image_rgb(img_path)
-            class_id = int(self.rng.choice(present))
-            mask = (lab == class_id).astype(np.float32)
-            name = self.classes[class_id]
+            n = min(self.num_classes_per_sample, len(present))
+            ids = (self.rng.sample(present, n) if n > 1
+                   else [int(self.rng.choice(present))])
+            pairs = [
+                ((lab == cid).astype(np.float32), self.classes[cid])
+                for cid in ids
+            ]
 
         sam_img, resize = sam_preprocess(img, self.image_size)
-        q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
-            class_name=name.lower()
-        )
-        a = self.rng.choice(C.ANSWER_LIST)
-        conv = build_conversation(q, a, self.conv_type)
+        convs, questions, names, mask_list = [], [], [], []
+        for mask, name in pairs:
+            q = self.rng.choice(C.SHORT_QUESTION_LIST).format(
+                class_name=name.lower()
+            )
+            a = self.rng.choice(C.ANSWER_LIST)
+            convs.append(build_conversation(q, a, self.conv_type))
+            questions.append(q)
+            names.append(name)
+            mask_list.append(sam_label_preprocess(mask, self.image_size))
         return Sample(
             image_path=img_path,
             sam_images=sam_img[None],
             image_clip=self.load_clip_image(img_path),
-            conversations=[conv],
-            masks=sam_label_preprocess(mask, self.image_size)[None],
-            label=mask,
+            conversations=convs,
+            masks=np.stack(mask_list),
+            label=pairs[0][0],
             gt_contact_3d=np.zeros(1, np.float32),
             cam_params=np.zeros((1, 5), np.float32),
             resize=resize,
-            questions=[q],
-            sampled_classes=[name],
+            questions=questions,
+            sampled_classes=names,
             ds_name=self.ds_name,
             mask_paths=[],
         )

@@ -280,7 +280,6 @@ def validate(
             f1_m.update(f1)
             prec_m.update(p)
             rec_m.update(r)
-            geo = 0.0
             if dist_matrix is not None:
                 geo, _ = M.geodesic_contact_errors(pred_3d, gt3d, dist_matrix)
                 geo_m.update(geo)
@@ -291,7 +290,15 @@ def validate(
                 saved["f1"].append(
                     M.contact_f1(gt3d[b : b + 1], pred_3d[b : b + 1])[0]
                 )
-                saved["geo"].append(geo)
+                # PER-SAMPLE geodesic FP distance (reference stores it per
+                # image for the DAMON reports, eval_utils.py:127-151; a
+                # batch mean here skews per-object tables)
+                geo_b = 0.0
+                if dist_matrix is not None:
+                    geo_b, _ = M.geodesic_contact_errors(
+                        pred_3d[b : b + 1], gt3d[b : b + 1], dist_matrix
+                    )
+                saved["geo"].append(geo_b)
                 saved["objnames"].append(
                     [[meta["sampled_classes_list"][b][0]
                       if meta["sampled_classes_list"][b] else "unknown"]]
@@ -303,12 +310,21 @@ def validate(
             mae_m.update(mae)
             auc_m.update(auc)
             aiou_m.update(aiou)
-        if is_oc and pred_3d is not None:
-            gt3d = np.asarray(batch.get("gt_ocontact", batch["gt_hcontact"]))
-            f1, p, r = M.contact_f1(gt3d, pred_3d)
-            f1_m.update(f1)
-            prec_m.update(p)
-            rec_m.update(r)
+        if is_oc:
+            if "gt_ocontact" not in batch:
+                # never silently score object contact against human GT
+                import warnings
+
+                warnings.warn(
+                    "ocontact batch lacks gt_ocontact; skipping F1 "
+                    "(enable include_object_maps in collate)"
+                )
+            elif pred_3d is not None:
+                gt3d = np.asarray(batch["gt_ocontact"])
+                f1, p, r = M.contact_f1(gt3d, pred_3d)
+                f1_m.update(f1)
+                prec_m.update(p)
+                rec_m.update(r)
 
     iou_class = np.asarray(inter_m.sum) / (np.asarray(union_m.sum) + 1e-10)
     results = {
@@ -434,6 +450,13 @@ def main(argv=None):
                    help="int8-quantize large LLaMA kernels for serving "
                         "(the reference's bitsandbytes role, "
                         "run_demo.py:106-129)")
+    p.add_argument("--geodesic_npy", default=None,
+                   help="path to smpl_neutral_geodesic_dist.npy (6890^2 "
+                        "geodesic matrix; reference eval_utils.py:15) -- "
+                        "enables the geodesic FP/FN columns")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard eval batches over all devices' data axis "
+                        "(reference DistributedSampler, evaluate.py:346)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -551,11 +574,23 @@ def main(argv=None):
                 yield collate(samples, tokenizer,
                               max_len=train_args.model_max_length)
 
+    dist_matrix = None
+    if args.geodesic_npy:
+        dist_matrix = np.load(args.geodesic_npy)
+        assert dist_matrix.shape[0] == dist_matrix.shape[1], (
+            dist_matrix.shape
+        )
+    mesh = None
+    if args.distributed:
+        from interactvlm_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(n_data=len(jax.devices()), n_model=1)
+
     results, saved = validate(
         batches(), model, params, cfg, args.val_dataset, mask_size,
         inference_type=args.inference_type,
         human_maps=human_maps, max_batches=args.max_batches,
-        kv_cache=args.kv_cache,
+        kv_cache=args.kv_cache, dist_matrix=dist_matrix, mesh=mesh,
     )
     report = {"metrics": results}
     if "hcontact" in args.val_dataset and saved["pred"]:

@@ -181,9 +181,14 @@ class InteractVLM(nn.Module):
         is_oc = task_ids == TASK_OCONTACT
         has_mask = task_ids != TASK_VQA
 
+        # multi-conversation batches (reference offset machinery,
+        # InteractVLM.py:392-410): rows are conversations, images_clip /
+        # sam_images are compact per-image arrays, image_index gathers
+        # each row's encodes -- C classes share one CLIP+SAM encode.
+        image_index = batch.get("image_index")
         out = self.llava(
             batch["input_ids"], batch["images_clip"], batch["labels"],
-            batch.get("attn_mask"),
+            batch.get("attn_mask"), image_index=image_index,
         )
         ce_loss = cross_entropy_loss(out.logits, out.spliced_labels)
         ce_loss = cfg.ce_loss_weight * ce_loss
@@ -196,6 +201,8 @@ class InteractVLM(nn.Module):
         )
 
         image_emb = self.encode_sam_images(batch["sam_images"])
+        if image_index is not None:
+            image_emb = jnp.take(image_emb, image_index, axis=0)
         if cfg.use_fusion:
             B, V = image_emb.shape[:2]
             fused = self.fusion(

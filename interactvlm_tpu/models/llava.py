@@ -138,9 +138,20 @@ class LlavaModel(nn.Module):
         feats = jax.lax.stop_gradient(self.vision_tower(pixels))
         return self.mm_projector(feats)
 
-    def splice(self, input_ids, pixels, labels=None, attn_mask=None):
-        """Build spliced embeddings + aligned labels/mask/ids."""
+    def splice(self, input_ids, pixels, labels=None, attn_mask=None,
+               image_index=None):
+        """Build spliced embeddings + aligned labels/mask/ids.
+
+        ``image_index`` ((B_rows,) int32) maps conversation rows onto a
+        COMPACT image batch: ``pixels`` holds one entry per unique image
+        and each row gathers its patches. This is the TPU-native form of
+        the reference's multi-conversation ``offset`` machinery
+        (datasets/dataset.py:196,216-246; InteractVLM.py:392-410): C
+        sampled classes share one CLIP encode.
+        """
         patches = self.encode_images(pixels)
+        if image_index is not None:
+            patches = jnp.take(patches, image_index, axis=0)
         P = patches.shape[1]
         idx, is_patch, _, has_img = splice_indices(input_ids, P)
         safe_ids = jnp.where(input_ids == IMAGE_TOKEN_INDEX, 0, input_ids)
@@ -162,9 +173,10 @@ class LlavaModel(nn.Module):
         )
         return embeds, spliced_ids, spliced_labels, spliced_mask
 
-    def __call__(self, input_ids, pixels, labels=None, attn_mask=None):
+    def __call__(self, input_ids, pixels, labels=None, attn_mask=None,
+                 image_index=None):
         embeds, spliced_ids, spliced_labels, spliced_mask = self.splice(
-            input_ids, pixels, labels, attn_mask
+            input_ids, pixels, labels, attn_mask, image_index
         )
         logits, hidden, _ = self.lm.forward_embeds(
             embeds, attn_mask=spliced_mask

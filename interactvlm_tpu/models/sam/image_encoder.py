@@ -20,22 +20,24 @@ from interactvlm_tpu.config import SAMConfig
 from interactvlm_tpu.ops import dot_product_attention
 
 
-def _enc_dense(features, name, dtype, use_bias=True, int8=False):
+def _enc_dense(features, name, dtype, use_bias=True, int8=False,
+               activation="none"):
     """Encoder linear: nn.Dense, or Int8Dense for the int8 serving mode
-    (SAMConfig.weights_int8; biases stay separate params either way)."""
+    (SAMConfig.weights_int8; biases stay separate params either way).
+    ``activation`` fuses a GELU epilogue into the int8 Pallas kernel."""
     if int8:
         from interactvlm_tpu.models.llama import Int8Dense
 
         class _Int8WithBias(nn.Module):
             @nn.compact
             def __call__(self, x):
-                y = Int8Dense(features, (None, None), dtype,
-                              name="int8")(x)
-                if use_bias:
-                    b = self.param("bias", nn.initializers.zeros,
-                                   (features,))
-                    y = y + b.astype(y.dtype)
-                return y
+                b = (
+                    self.param("bias", nn.initializers.zeros, (features,))
+                    if use_bias else None
+                )
+                return Int8Dense(features, (None, None), dtype,
+                                 activation=activation,
+                                 name="int8")(x, bias=b)
 
         return _Int8WithBias(name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
@@ -50,11 +52,19 @@ class MLPBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = _enc_dense(self.mlp_dim, "lin1", self.dtype,
-                       int8=self.int8)(x)
+        if self.int8:
+            # GELU fused into the Pallas matmul epilogue: saves the full
+            # (M, mlp_dim) bf16 HBM round-trip plus XLA's ~2 ms erf pass
+            # per block (scripts/chain_probe.py xla_bf16_gelu vs
+            # pallas_int8_gelu)
+            act = "gelu_tanh" if self.gelu_approx else "gelu"
+            x = _enc_dense(self.mlp_dim, "lin1", self.dtype,
+                           int8=True, activation=act)(x)
+            return _enc_dense(self.out_dim, "lin2", self.dtype,
+                              int8=True)(x)
+        x = _enc_dense(self.mlp_dim, "lin1", self.dtype)(x)
         x = nn.gelu(x, approximate=self.gelu_approx)
-        return _enc_dense(self.out_dim, "lin2", self.dtype,
-                          int8=self.int8)(x)
+        return _enc_dense(self.out_dim, "lin2", self.dtype)(x)
 
 
 def window_partition(x, window_size: int):

@@ -114,33 +114,36 @@ def _grid_pad_width(W: int, block_k: int = BLOCK_K) -> int:
     return block_k
 
 
-def _window_kernel(q_ref, k_ref, v_ref, f_ref, o_ref, *, lk, scale, W, nH):
-    """Single-block attention over one window batch-row, all heads unrolled
-    in-program.
+def _window_kernel(q_ref, k_ref, v_ref, f_ref, o_ref, s_ref, *, lk, scale,
+                   W, nH, hq=None):
+    """Single-block attention over one window batch-row.
 
     q/k/v_ref: (1, nH, Lg, Dp); f_ref: (1, nH, Fp, Lg) f32 combined bias
     factors -- rows [0, H) hold rel_h[kh, q], rows [Hq, Hq+W) hold
-    rel_w^T[kw, q] (zero elsewhere); o_ref: (1, nH, Lg, Dp). Lg >= lk is
-    the padded token count.
+    rel_w^T[kw, q] (zero elsewhere); o_ref: (1, nH, Lg, Dp); s_ref:
+    (nH, Lg, Lg) f32 VMEM scratch. Lg >= lk is the padded token count.
 
-    The 14x14 SAM windows are short enough that the whole (Lg, Lg) logits
-    tile lives in VMEM -- no flash streaming, one softmax. The decomposed
-    rel-pos bias is reconstructed from the stacked factors with ONE
-    expansion matmul:
+    The 14x14 SAM windows are short enough that every head's (Lg, Lg)
+    logits tile lives in VMEM -- no flash streaming, one softmax. The
+    decomposed rel-pos bias is reconstructed from the stacked factors
+    with ONE expansion matmul:
 
       bias[q, c] = rel_h[c // W, q] + rel_w[q, c % W]
                  = sum_j f[j, q] * E[j, c],
       E[j, c] = (c // W == j) for j < Hq ; (c % W == j - Hq) for j >= Hq.
 
-    Heads are a static Python loop (static slices pipeline on Mosaic where
-    a fori_loop's dynamic slices measured ~4x slower). The XLA path
-    materializes the (B*nW, nH, L, L) bias + f32 logits in HBM, which
-    measured ~10x the attention's FLOP cost on a v5e
-    (scripts/winattn_probe.py).
+    Structure: two MXU-only head loops (static Python unroll: Mosaic
+    pipelines independent dots back-to-back; a fori_loop's dynamic slices
+    measured ~4x slower) around ONE softmax vectorized across all heads.
+    The previous form ran the full f32 softmax chain inside the head loop
+    and serialized VPU/MXU on each head's dependency chain: 9.8 ms/layer
+    vs ~3 ms restructured (scripts/winattn_probe.py). The XLA path
+    materializes the (B*nW, nH, L, L) bias + f32 logits in HBM and is
+    ~1.5x slower still.
     """
     Lg = q_ref.shape[2]
     Fp = f_ref.shape[2]
-    Hq = Fp // 2
+    Hq = Fp // 2 if hq is None else hq
 
     col = jax.lax.broadcasted_iota(jnp.int32, (Fp, Lg), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Fp, Lg), 0)
@@ -149,32 +152,34 @@ def _window_kernel(q_ref, k_ref, v_ref, f_ref, o_ref, *, lk, scale, W, nH):
         (col % W == row - Hq).astype(jnp.float32),
     )  # (Fp, Lg)
 
-    k_col = jax.lax.broadcasted_iota(jnp.int32, (Lg, Lg), 1)
-    valid = k_col < lk
-
+    # phase 1: per-head logits (MXU), written to the shared scratch
     for h in range(nH):
-        q = q_ref[0, h]  # (Lg, Dp) input dtype -> full-rate MXU
-        k = k_ref[0, h]
-        v = v_ref[0, h]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        f = f_ref[0, h]  # (Fp, Lg)
-        s = s + jax.lax.dot_general(
-            f, e, (((0,), (0,)), ((), ())),
+        s_ref[h] = s + jax.lax.dot_general(
+            f_ref[0, h], e, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = jnp.where(valid, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        l = jnp.where(l == 0.0, 1.0, l)
-        out = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+
+    # phase 2: ONE masked softmax across all heads (vectorized VPU)
+    S = s_ref[...]
+    if lk < Lg:  # only when the token axis is padded
+        k_col = jax.lax.broadcasted_iota(jnp.int32, (nH, Lg, Lg), 2)
+        S = jnp.where(k_col < lk, S, NEG_INF)
+    m = jnp.max(S, axis=2, keepdims=True)
+    p = jnp.exp(S - m)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    s_ref[...] = p / jnp.where(l == 0.0, 1.0, l)
+
+    # phase 3: per-head P @ V (MXU)
+    for h in range(nH):
+        o_ref[0, h] = jax.lax.dot_general(
+            s_ref[h].astype(v_ref.dtype), v_ref[0, h],
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) / l
-        o_ref[0, h] = out.astype(o_ref.dtype)
+        ).astype(o_ref.dtype)
 
 
 def fused_window_attention(q, k, v, rel_pos_h, rel_pos_w, hw,
@@ -190,55 +195,71 @@ def fused_window_attention(q, k, v, rel_pos_h, rel_pos_w, hw,
     BW, nH, L, D = q.shape
     assert L == H * W
     scale = D ** -0.5
+    Fp = H + W  # factor rows: [0, H) rel_h, [H, H+W) rel_w
 
-    Lg = ((L + 7) // 8) * 8  # f32 sublane tile
-    Dp = max(128, ((D + 127) // 128) * 128)
-    Hq = ((max(H, W) + 7) // 8) * 8  # factor-row split point
-    Fp = 2 * Hq
-
-    Rh = _rel_tables(rel_pos_h, H)  # (H, H, D)
-    Rw = _rel_tables(rel_pos_w, W)
-    qf = q.astype(jnp.float32)
-    r_q = qf.reshape(BW, nH, H, W, D)
+    # No host-side padding: q/k/v/factors go to the kernel at their
+    # NATURAL (L=196, D=80) shapes and Mosaic masks the partial tiles.
+    # The previous padded form (L->224, D->128) cost ~4.2 ms/layer of
+    # XLA pad traffic plus 1.6x kernel DMA -- vs ~0.5 ms of actual
+    # attention compute (scripts/winattn_probe.py kernel_copy/pads_only).
+    #
+    # Factor einsums run in the INPUT dtype (bf16 on TPU): an f32 cast
+    # materialized a (BW, nH, L, D) f32 copy (~500 MB at ViT-H serving
+    # shapes); the contractions accumulate in f32 via
+    # preferred_element_type.
+    Rh = _rel_tables(rel_pos_h, H).astype(q.dtype)  # (H, H, D)
+    Rw = _rel_tables(rel_pos_w, W).astype(q.dtype)
+    r_q = q.reshape(BW, nH, H, W, D)
     # factors: rel_h[b,n,kh,(h,w)]; rel_w[b,n,kw,(h,w)] -- stacked so the
     # kernel reconstructs the full bias with ONE expansion matmul
-    rel_h = jnp.einsum("bnhwc,hkc->bnkhw", r_q, Rh).reshape(BW, nH, H, L)
-    rel_w = jnp.einsum("bnhwc,wkc->bnkhw", r_q, Rw).reshape(BW, nH, W, L)
-    factors = jnp.concatenate(
-        [_pad_to(rel_h, Hq, 2), _pad_to(rel_w, Hq, 2)], axis=2
-    )
-    factors = _pad_to(factors, Lg, 3)
+    rel_h = jnp.einsum(
+        "bnhwc,hkc->bnkhw", r_q, Rh, preferred_element_type=jnp.float32
+    ).reshape(BW, nH, H, L)
+    rel_w = jnp.einsum(
+        "bnhwc,wkc->bnkhw", r_q, Rw, preferred_element_type=jnp.float32
+    ).reshape(BW, nH, W, L)
+    factors = jnp.concatenate([rel_h, rel_w], axis=2)  # (BW, nH, Fp, L)
 
-    qp = _pad_to(_pad_to(q, Lg, 2), Dp, 3)
-    kp = _pad_to(_pad_to(k, Lg, 2), Dp, 3)
-    vp = _pad_to(_pad_to(v, Lg, 2), Dp, 3)
+    # heads-per-program sized so blocks + the f32 logits scratch
+    # double-buffer inside VMEM
+    lanes = ((L + 127) // 128) * 128
+    HB = 1
+    for cand in (nH, 8, 4, 2, 1):
+        if nH % cand == 0:
+            blk = (3 * 2 + 2) * cand * L * D * 2  # dbl-buffered qkvo bf16
+            blk += 4 * cand * Fp * lanes * 2
+            blk += 4 * cand * L * lanes  # f32 scratch
+            if blk <= 12 * 1024 * 1024:
+                HB = cand
+                break
 
     out = pl.pallas_call(
         functools.partial(
-            _window_kernel, lk=L, scale=scale, W=W, nH=nH
+            _window_kernel, lk=L, scale=scale, W=W, nH=HB, hq=H
         ),
-        grid=(BW,),
+        grid=(BW, nH // HB),
         in_specs=[
-            pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, HB, L, D), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, HB, L, D), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, HB, L, D), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nH, Fp, Lg), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, HB, Fp, L), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, HB, L, D), lambda b, h: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BW, nH, Lg, Dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BW, nH, L, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((HB, L, L), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * BW * nH * Lg * Lg * Dp,
-            bytes_accessed=BW * nH * Lg * Dp * 4 * 2,
-            transcendentals=BW * nH * Lg * Lg,
+            flops=4 * BW * nH * L * L * D,
+            bytes_accessed=BW * nH * L * D * 2 * 4,
+            transcendentals=BW * nH * L * L,
         ),
-    )(qp, kp, vp, factors)
-    return out[:, :, :L, :D]
+    )(q, k, v, factors)
+    return out
 
 
 def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):
@@ -258,12 +279,18 @@ def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):
     Wp = _grid_pad_width(W, bk)
     Lg = H * Wp  # grid-padded token count
 
-    Rh = _rel_tables(rel_pos_h, H)  # (H, H, D)
-    Rw = _rel_tables(rel_pos_w, W)
-    qf = q.astype(jnp.float32)
-    r_q = qf.reshape(B, nH, H, W, D)
-    rel_h = jnp.einsum("bnhwc,hkc->bnkhw", r_q, Rh)  # (B,nH,Hk,H,W)
-    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, Rw)  # (B,nH,H,W,Wk)
+    # factors in the input dtype (f32 cast materialized a (B,nH,L,D) f32
+    # copy, ~335 MB at the 64x64 global grid); f32 accumulation via
+    # preferred_element_type
+    Rh = _rel_tables(rel_pos_h, H).astype(q.dtype)  # (H, H, D)
+    Rw = _rel_tables(rel_pos_w, W).astype(q.dtype)
+    r_q = q.reshape(B, nH, H, W, D)
+    rel_h = jnp.einsum(
+        "bnhwc,hkc->bnkhw", r_q, Rh, preferred_element_type=jnp.float32
+    )  # (B,nH,Hk,H,W)
+    rel_w = jnp.einsum(
+        "bnhwc,wkc->bnhwk", r_q, Rw, preferred_element_type=jnp.float32
+    )  # (B,nH,H,W,Wk)
 
     def grid_pad(x, axis_w):
         return _pad_to(x, Wp, axis_w)

@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_epoch", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--grad_accumulation_steps", type=int, default=1)
+    p.add_argument("--data_workers", type=int, default=8,
+                   help="sample-construction threads (reference "
+                        "DataLoader workers, train.py:334-352)")
+    p.add_argument("--prefetch_depth", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--model_max_length", type=int, default=512)
@@ -170,14 +174,29 @@ def real_batch_iter(args, cfg, tokenizer):
     # datasets (fixed per run so the jit batch structure stays static)
     include_object_maps = any(n in ("oafford", "ocontact") for n in names)
 
-    def gen():
-        idx = 0
+    # Per-sample construction (B x V 1024^2 PNG decodes per batch) runs on
+    # a thread pool: the C++ decoder releases the GIL so threads scale
+    # (reference uses multi-worker DataLoaders, train.py:334-352). A
+    # serial generator here measured input-bound at real image sizes
+    # (VERDICT r2 #5).
+    from interactvlm_tpu.runtime.prefetch import ParallelSampler
+
+    workers = getattr(args, "data_workers", 8)
+    sampler = ParallelSampler(
+        lambda i: hybrid[i % len(hybrid)], num_workers=workers,
+        lookahead=max(2 * args.batch_size, workers),
+    )
+
+    def indices():
+        i = 0
         while True:
-            samples = [
-                hybrid[(idx + j) % len(hybrid)]
-                for j in range(args.batch_size)
-            ]
-            idx += args.batch_size
+            yield i
+            i += 1
+
+    def gen():
+        sample_it = sampler.iterate(indices())
+        while True:
+            samples = [next(sample_it) for _ in range(args.batch_size)]
             batch, _ = collate(
                 samples, tokenizer, max_len=args.model_max_length,
                 multiview_channels=args.multiview_channels,
@@ -185,10 +204,10 @@ def real_batch_iter(args, cfg, tokenizer):
             )
             yield batch
 
-    return PrefetchIterator(gen(), depth=2)
+    return PrefetchIterator(gen(), depth=getattr(args, "prefetch_depth", 4))
 
 
-def make_validator(args, cfg, model, tokenizer, example):
+def make_validator(args, cfg, model, tokenizer, example, mesh=None):
     """Generate-mode validation closure for the epoch gate (reference
     train.py:421-472 validates and gates best-checkpoint saving on the
     contact metric, not train loss)."""
@@ -247,9 +266,11 @@ def make_validator(args, cfg, model, tokenizer, example):
                               multiview_channels=args.multiview_channels)
 
     def val_fn(params):
+        # distributed eval: shard every batch over the mesh's data axis
+        # (reference DistributedSampler + all_gather, evaluate.py:202-346)
         results, _ = validate(
             batches(), model, params, cfg, ds_name, mask_size,
-            human_maps=human_maps,
+            human_maps=human_maps, mesh=mesh,
         )
         # contact F1 is the gate when available (reference train.py:434-453)
         return results.get("f1", results.get("giou", 0.0)), results
@@ -416,7 +437,7 @@ def main(argv=None):
             if not args.no_eval and (epoch + 1) % args.val_every == 0:
                 if val_fn is None:
                     val_fn = make_validator(args, cfg, model, tokenizer,
-                                            first_micro)
+                                            first_micro, mesh=mesh)
                 score, vres = val_fn(state.params)
                 logger.log(int(state.step),
                            {f"val/{k}": v for k, v in vres.items()})

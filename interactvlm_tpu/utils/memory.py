@@ -1,0 +1,155 @@
+"""Analytic HBM budget for serving configurations.
+
+VERDICT r2 #2: every reference headline model is LISA-13B
+(``/root/reference/train.py:254``; ``run_demo.py:106-129`` serves 13B in
+bnb int8), so the rebuild must either serve 13B on one chip or show
+exactly which buffer overflows the 16 GB v5e HBM and which TP sharding
+fixes it. This module computes that budget per config/mesh analytically
+(no device needed) and is unit-tested against live param trees on tiny
+configs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict
+
+V5E_HBM_BYTES = 16 * 1024 ** 3
+
+
+def _dtype_bytes(dtype) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    return np.dtype(jnp.dtype(dtype)).itemsize
+
+
+def llama_param_bytes(cfg, tp: int = 1) -> int:
+    """Weight bytes of the LLaMA stack (embed + layers + lm_head).
+
+    int8 configs store matmul kernels in 1 byte + f32 per-out-channel
+    scales; the embedding table stays in the compute dtype. TP divides
+    every matmul kernel and the KV/MLP dims across ``tp`` chips.
+    """
+    h, d = cfg.hidden_size, cfg.head_dim
+    attn_params = h * d * (2 * cfg.num_heads + 2 * cfg.num_kv_heads)
+    mlp_params = 3 * h * cfg.intermediate_size
+    matmul = cfg.num_layers * (attn_params + mlp_params)
+    matmul += h * cfg.vocab_size  # lm_head
+    # per-output-channel f32 scales for the int8 layout
+    scale_out = cfg.num_layers * (
+        d * (cfg.num_heads + 2 * cfg.num_kv_heads) + h
+        + 2 * cfg.intermediate_size + h
+    ) + cfg.vocab_size
+    kernel_bytes = (
+        matmul * 1 + scale_out * 4 if cfg.weights_int8
+        else matmul * _dtype_bytes(cfg.dtype)
+    )
+    embed = cfg.vocab_size * h * _dtype_bytes(cfg.dtype)
+    norms = (2 * cfg.num_layers + 1) * h * 4  # RMSNorm gains kept f32-ish
+    return (kernel_bytes + norms) // tp + embed
+
+
+def kv_cache_bytes(cfg, batch: int, max_len: int, kind: str = "int8",
+                   tp: int = 1) -> int:
+    """Decode KV cache (ops/quant.init_kv_cache_int8 layout)."""
+    per_pos = cfg.num_kv_heads * cfg.head_dim
+    n = cfg.num_layers * batch * max_len
+    if kind == "int8":
+        data = n * per_pos * 2 * 1
+        scales = n * cfg.num_kv_heads * 2 * 4
+        valid = cfg.num_layers * batch * max_len
+        return (data + scales + valid) // tp
+    return n * per_pos * 2 * _dtype_bytes(cfg.dtype) // tp
+
+
+def sam_param_bytes(cfg) -> int:
+    """SAM ViT encoder + prompt encoder + mask decoder weights."""
+    e = cfg.encoder_embed_dim
+    per_block = 4 * e * e + 2 * e * int(e * cfg.mlp_ratio)
+    matmul = cfg.encoder_depth * per_block
+    if cfg.weights_int8:
+        kernel = matmul * 1 + cfg.encoder_depth * (
+            (3 * e + e + int(e * cfg.mlp_ratio) + e) * 4
+        )
+    else:
+        kernel = matmul * _dtype_bytes(cfg.dtype)
+    # patch embed, pos embed, rel-pos tables, neck, norms
+    g = cfg.image_embedding_size
+    aux = cfg.patch_size ** 2 * 3 * e + g * g * e
+    aux += cfg.encoder_depth * 2 * (2 * max(g, cfg.window_size) - 1) * (
+        e // cfg.encoder_num_heads
+    )
+    aux += 2 * e * cfg.prompt_embed_dim + 9 * cfg.prompt_embed_dim ** 2
+    # two-way decoder + hypernet MLPs (~4M params at 256-d)
+    decoder = 6 * 4 * cfg.prompt_embed_dim ** 2 * 2 + 4 * (
+        cfg.prompt_embed_dim ** 2 * 3
+    )
+    return kernel + (aux + decoder) * _dtype_bytes(cfg.dtype)
+
+
+def clip_param_bytes(cfg) -> int:
+    h = cfg.hidden_size
+    per_block = 4 * h * h + 2 * h * cfg.intermediate_size
+    params = cfg.num_layers * per_block
+    params += cfg.num_patches * h + h * 3 * cfg.patch_size ** 2
+    return params * _dtype_bytes(cfg.dtype)
+
+
+def activation_bytes(cfg, batch: int, views: int, prompt_len: int) -> int:
+    """Peak live activations on the serving path (estimate).
+
+    The SAM encoder dominates: XLA keeps ~6 block-sized (BV, tokens, E)
+    bf16 tensors live (residual, LN out, qkv, attn out, MLP hidden is
+    bigger: 4E wide). The LLaMA prefill peak is (B, L, inter) + logits.
+    """
+    s = cfg.sam
+    tokens = s.image_embedding_size ** 2
+    sam_peak = batch * views * tokens * s.encoder_embed_dim * 2 * 4
+    sam_peak += batch * views * tokens * int(
+        s.encoder_embed_dim * s.mlp_ratio
+    ) * 2
+    lc = cfg.llama
+    llama_peak = (
+        batch * prompt_len * lc.intermediate_size * 2 * 2
+        + batch * lc.vocab_size * 4
+    )
+    return max(sam_peak, llama_peak)
+
+
+@dataclass
+class ServingBudget:
+    components: Dict[str, int]
+
+    @property
+    def total(self) -> int:
+        return sum(self.components.values())
+
+    def fits(self, hbm_bytes: int = V5E_HBM_BYTES,
+             reserve_frac: float = 0.04) -> bool:
+        """4% reserved for the runtime/compiler scratch."""
+        return self.total <= hbm_bytes * (1.0 - reserve_frac)
+
+    def table(self) -> str:
+        rows = [
+            f"  {k:<16} {v / 1024 ** 3:7.2f} GiB"
+            for k, v in self.components.items()
+        ]
+        rows.append(f"  {'TOTAL':<16} {self.total / 1024 ** 3:7.2f} GiB")
+        return "\n".join(rows)
+
+
+def serving_budget(cfg, batch: int, max_len: int, views: int,
+                   prompt_len: int, kv: str = "int8",
+                   tp: int = 1) -> ServingBudget:
+    """Full InteractVLM serving HBM budget for one chip of a TP group.
+
+    cfg: InteractVLMConfig (llama/clip/sam sub-configs).
+    """
+    return ServingBudget({
+        "llama_params": llama_param_bytes(cfg.llama, tp=tp),
+        "kv_cache": kv_cache_bytes(cfg.llama, batch, max_len, kv, tp=tp),
+        "sam_params": sam_param_bytes(cfg.sam),
+        "clip_params": clip_param_bytes(cfg.clip),
+        "activations": activation_bytes(cfg, batch, views, prompt_len),
+    })

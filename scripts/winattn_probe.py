@@ -78,6 +78,7 @@ def main():
             out_specs=pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((BW, nH, Lg, Dp), q.dtype),
+            scratch_shapes=[pltpu.VMEM((nH, Lg, Lg), jnp.float32)],
         )(qp, kp, vp, factors)
         return out[:, :, :L, :D]
 
@@ -110,10 +111,47 @@ def main():
 
         return flash_attention(gq + q.mean() * 1e-9, gk, gv)
 
+    def run_kernel_copy(q, k, v):
+        # same grid/specs/pads as the real kernel, body = pure copy:
+        # isolates pad + DMA + grid overhead from attention compute
+        Lg, Dp = 224, 128
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _copy(q_ref, k_ref, v_ref, o_ref):
+            o_ref[...] = q_ref[...]
+
+        qp = sa._pad_to(sa._pad_to(q, Lg, 2), Dp, 3)
+        kp = sa._pad_to(sa._pad_to(k, Lg, 2), Dp, 3)
+        vp = sa._pad_to(sa._pad_to(v, Lg, 2), Dp, 3)
+        out = pl.pallas_call(
+            _copy,
+            grid=(BW,),
+            in_specs=[
+                pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 3,
+            out_specs=pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((BW, nH, Lg, Dp), q.dtype),
+        )(qp, kp, vp)
+        return out[:, :, :L, :D]
+
+    def run_pads_only(q, k, v):
+        Lg, Dp = 224, 128
+        qp = sa._pad_to(sa._pad_to(q, Lg, 2), Dp, 3)
+        kp = sa._pad_to(sa._pad_to(k, Lg, 2), Dp, 3)
+        vp = sa._pad_to(sa._pad_to(v, Lg, 2), Dp, 3)
+        return (qp + kp + vp)[:, :, :L, :D]
+
     fns = {
         "xla": run_xla,
         "kernel": run_kernel,
         "kernel_nofactors": run_kernel_nofactors,
+        "kernel_copy": run_kernel_copy,
+        "pads_only": run_pads_only,
         "qkvproj": run_qkvproj,
         "global_fused": run_global_fused,
         "global_plain": run_global_plain,

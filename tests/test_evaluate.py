@@ -3,6 +3,7 @@ validate loop, and the DAMON reports."""
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from interactvlm_tpu.config import interactvlm_tiny
@@ -196,3 +197,56 @@ def test_distributed_eval_matches_single(tiny):
         )
     for k in single:
         assert sharded[k] == pytest.approx(single[k], abs=2e-3), k
+
+
+def test_per_sample_geo_is_not_batch_mean(tiny):
+    """saved["geo"] must hold PER-SAMPLE geodesic FP distances (VERDICT r2
+    #4): two rows with different GT/pred must record different geo values,
+    not a shared batch mean."""
+    cfg, model, params = tiny
+    batch = make_batch(cfg, tasks=(2, 2))
+    # make row GT maximally different
+    gt = np.zeros((2, cfg.num_human_vertices), np.float32)
+    gt[0, :3] = 1.0
+    gt[1, 5:6] = 1.0  # asymmetric vs row 0
+    batch["gt_hcontact"] = jnp.asarray(gt)
+    meta = {
+        "image_paths": ["a.jpg", "b.jpg"],
+        "sampled_classes_list": [["chair"], ["bench"]],
+    }
+    human_maps = {
+        "p2v": batch["human_p2v"], "bary": batch["human_bary"],
+        "num_vertices": cfg.num_human_vertices,
+    }
+    dist = np.abs(
+        np.arange(cfg.num_human_vertices)[:, None]
+        - np.arange(cfg.num_human_vertices)[None, :]
+    ).astype(float)
+    _, saved = validate(
+        [(batch, meta)], model, params, cfg, "hcontact", MASK,
+        human_maps=human_maps, dist_matrix=dist,
+    )
+    assert len(saved["geo"]) == 2
+    assert all(np.isfinite(g) for g in saved["geo"])
+    assert saved["geo"][0] != saved["geo"][1]
+
+
+def test_ocontact_without_gt_warns_not_wrong(tiny):
+    """An ocontact batch missing gt_ocontact must warn and skip contact
+    F1 -- never silently score against the human GT (VERDICT r2 #4)."""
+    import warnings
+
+    cfg, model, params = tiny
+    batch = make_batch(cfg, tasks=(4, 4))
+    assert "gt_ocontact" not in batch
+    meta = {
+        "image_paths": ["a.jpg", "b.jpg"],
+        "sampled_classes_list": [["cup"], ["cup"]],
+    }
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        results, _ = validate(
+            [(batch, meta)], model, params, cfg, "ocontact", MASK,
+            inference_type="forward",
+        )
+    assert any("gt_ocontact" in str(x.message) for x in w)

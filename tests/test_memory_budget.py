@@ -1,0 +1,134 @@
+"""HBM serving-budget tests (VERDICT r2 #2).
+
+Validates the analytic component counts against live param trees on tiny
+configs (within 15%: the analytic form ignores tiny aux params), and
+asserts the documented 13B findings: 13B-int8 + bf16 towers does NOT fit
+one 16 GB chip at the bench batch, while TP=2 (or int8 towers + smaller
+batch) does.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from interactvlm_tpu.config import (
+    InteractVLMConfig,
+    clip_tiny,
+    clip_vit_l_14,
+    llama_13b,
+    llama_7b,
+    llama_tiny,
+    sam_tiny,
+    sam_vit_h,
+)
+from interactvlm_tpu.utils.memory import (
+    V5E_HBM_BYTES,
+    clip_param_bytes,
+    kv_cache_bytes,
+    llama_param_bytes,
+    sam_param_bytes,
+    serving_budget,
+)
+
+
+def _tree_bytes(params):
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(params)
+        if hasattr(x, "dtype")
+    )
+
+
+def test_llama_param_bytes_matches_live_tree():
+    from interactvlm_tpu.models.llama import LlamaForCausalLM
+
+    cfg = llama_tiny()
+    model = LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    import flax.linen as nn
+
+    live = _tree_bytes(nn.meta.unbox(params))
+    # tiny config params are f32 in the live tree; count at cfg dtype
+    est = llama_param_bytes(dataclasses.replace(cfg, dtype=jnp.float32))
+    assert abs(est - live) / live < 0.15, (est, live)
+
+
+def test_kv_cache_bytes_matches_live_cache():
+    from interactvlm_tpu.ops.quant import init_kv_cache_int8
+
+    cfg = llama_tiny()
+    cache = init_kv_cache_int8(cfg, batch=2, max_len=16)
+    live = sum(
+        x.size * x.dtype.itemsize
+        for layer in cache
+        for x in jax.tree.leaves(layer)
+        if hasattr(x, "dtype")
+    )
+    est = kv_cache_bytes(cfg, 2, 16, "int8")
+    assert abs(est - live) / live < 0.15, (est, live)
+
+
+def test_sam_param_bytes_matches_live_tree():
+    from interactvlm_tpu.models.sam.sam import Sam as SAM
+
+    cfg = sam_tiny()
+    model = SAM(cfg)
+    px = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+    params = model.init(jax.random.PRNGKey(0), px,
+                        method=SAM.encode_image)
+    import flax.linen as nn
+
+    live = _tree_bytes(nn.meta.unbox(params))
+    est = sam_param_bytes(dataclasses.replace(cfg, dtype=jnp.float32))
+    # encoder only (decoder params not initialized by encode_image):
+    # analytic estimate must cover live and not exceed ~2x
+    assert est >= live * 0.85, (est, live)
+    assert est <= live * 2.2, (est, live)
+
+
+def test_13b_budget_findings():
+    """The documented 13B serving table: what fits where."""
+    def cfg13(sam_int8=False, tp=1):
+        return InteractVLMConfig(
+            llama=llama_13b(dtype=jnp.bfloat16, weights_int8=True),
+            clip=clip_vit_l_14(dtype=jnp.bfloat16),
+            sam=sam_vit_h(dtype=jnp.bfloat16, weights_int8=sam_int8),
+            seg_token_idx=32000,
+            img_emb_len=255,
+            multiview_channels=4,
+            out_dim=256,
+        )
+
+    # bench shape: B=8, V=4, prompt 64 -> Lp=319, T=32
+    b13 = serving_budget(cfg13(), batch=8, max_len=351, views=4,
+                         prompt_len=319, kv="int8", tp=1)
+    # 13B-int8 weights alone are ~12.6 GiB
+    assert 12.0 < b13.components["llama_params"] / 1024 ** 3 < 13.5
+    # full pipeline with bf16 towers does NOT fit one 16 GiB chip at B=8
+    assert not b13.fits(V5E_HBM_BYTES)
+    # TP=2 fits comfortably
+    b13_tp2 = serving_budget(cfg13(), batch=8, max_len=351, views=4,
+                             prompt_len=319, kv="int8", tp=2)
+    assert b13_tp2.fits(V5E_HBM_BYTES)
+    # single chip CAN serve 13B at reduced batch with the int8 encoder
+    b13_b2 = serving_budget(cfg13(sam_int8=True), batch=2, max_len=351,
+                            views=4, prompt_len=319, kv="int8", tp=1)
+    assert b13_b2.fits(V5E_HBM_BYTES), b13_b2.table()
+
+
+def test_7b_bench_config_fits():
+    cfg = InteractVLMConfig(
+        llama=llama_7b(dtype=jnp.bfloat16, weights_int8=True),
+        clip=clip_vit_l_14(dtype=jnp.bfloat16),
+        sam=sam_vit_h(dtype=jnp.bfloat16),
+        seg_token_idx=32000,
+        img_emb_len=255,
+        multiview_channels=4,
+        out_dim=256,
+    )
+    b = serving_budget(cfg, batch=8, max_len=351, views=4,
+                       prompt_len=319, kv="int8")
+    assert b.fits(V5E_HBM_BYTES), b.table()

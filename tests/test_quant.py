@@ -177,6 +177,48 @@ def test_int8_kv_decode_parity_gqa():
     assert (dense == int8).all(), (dense, int8)
 
 
+def test_int8_matmul_fused_matches_xla_composition():
+    """The fused Pallas quantize+matmul kernel (interpret mode on CPU)
+    must match the XLA composition ``ops/quant.int8_matmul`` bit-for-bit
+    up to the bf16-abs-max scale difference (<0.5% of the output range)."""
+    from interactvlm_tpu.ops.int8_matmul import int8_matmul_fused
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(40, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    wq, ws = quantize_int8(w, axis=0)
+    want = np.asarray(int8_matmul(x, wq, ws, dtype=jnp.float32))
+    got = np.asarray(
+        int8_matmul_fused(x, wq, ws, dtype=jnp.float32, interpret=True)
+    )
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.01 * scale, (
+        np.abs(got - want).max(), scale)
+    # fp32 ground truth stays within int8 error budget
+    full = np.asarray(x @ w)
+    assert np.abs(got - full).max() < 0.05 * np.abs(full).max()
+
+
+def test_int8_matmul_fused_gelu_epilogue_and_padding():
+    """Fused GELU epilogue == gelu(matmul); non-multiple-of-block M rows
+    are padded internally and sliced back."""
+    from interactvlm_tpu.ops.int8_matmul import int8_matmul_fused
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(3, 7, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32))
+    wq, ws = quantize_int8(w, axis=0)
+    base = int8_matmul_fused(x, wq, ws, dtype=jnp.float32, interpret=True)
+    got = np.asarray(
+        int8_matmul_fused(
+            x, wq, ws, dtype=jnp.float32, activation="gelu", interpret=True
+        )
+    )
+    want = np.asarray(jax.nn.gelu(base, approximate=False))
+    assert got.shape == (3, 7, 256)
+    assert np.abs(got - want).max() < 1e-3
+
+
 def test_second_chunk_needs_masked_cache_form():
     """An L>1 chunk on a PARTIALLY filled cache must use the idx-aware
     masked form (fresh_cache=False): feeding a prompt in two chunks then

@@ -143,3 +143,29 @@ def test_train_export_eval_chain(tmp_path):
     ])
     assert "metrics" in report and "f1" in report["metrics"]
     assert "damon_binary" in report
+
+
+def test_hybrid_pick_thread_safe():
+    """HybridDataset.pick serializes rng draws so ParallelSampler threads
+    can fetch samples concurrently (VERDICT r2 #5)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from interactvlm_tpu.data.datasets import HybridDataset
+
+    class _FakeDS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            assert 0 <= i < self.n
+            return i
+
+    hybrid = HybridDataset([_FakeDS(10), _FakeDS(100)], [1.0, 3.0],
+                           samples_per_epoch=64)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        out = list(pool.map(lambda i: hybrid[i], range(512)))
+    assert len(out) == 512
+    assert all(isinstance(x, int) for x in out)
