@@ -43,7 +43,9 @@ def _bce_with_logits(logits, targets):
     )
 
 
-def _bce_probs(probs, targets, eps=1e-12):
+def _bce_probs(probs, targets, eps=1e-6):
+    # eps must be f32-representable: 1 - 1e-12 rounds to exactly 1.0 in
+    # f32, making log1p(-p) = -inf and its derivative -1/(1-p) = -inf
     p = jnp.clip(probs, eps, 1 - eps)
     return -(targets * jnp.log(p) + (1 - targets) * jnp.log1p(-p))
 
@@ -56,9 +58,14 @@ def focal_mask_loss(pred, gt, is_prob, alpha: float = 0.5, gamma: float = 2.0):
     """
     valid = (gt != IGNORE_LABEL).astype(jnp.float32)
     gt_safe = jnp.where(valid > 0, gt, 0.0)
-    bce_logit = _bce_with_logits(pred.astype(jnp.float32), gt_safe)
-    bce_prob = _bce_probs(pred.astype(jnp.float32), gt_safe)
-    bce = jnp.where(is_prob[:, None, None, None], bce_prob, bce_logit)
+    pred_f = pred.astype(jnp.float32)
+    is_prob_b = is_prob[:, None, None, None]
+    bce_logit = _bce_with_logits(pred_f, gt_safe)
+    # double-where: logit rows feed a safe dummy into the prob branch --
+    # raw logits >1 would clip to 1-eps, whose -1/(1-p) derivative turns
+    # the where's zero cotangent into 0*inf = NaN at the clip boundary
+    bce_prob = _bce_probs(jnp.where(is_prob_b, pred_f, 0.5), gt_safe)
+    bce = jnp.where(is_prob_b, bce_prob, bce_logit)
     pt = jnp.exp(-bce)
     focal = alpha * (1 - pt) ** gamma * bce
     per_view = _safe_mean(focal, valid, axis=(2, 3))  # (B, V)
