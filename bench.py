@@ -396,10 +396,13 @@ def main():
                 best = min(best, (time.perf_counter() - t0) / iters)
             return best * 1e3  # ms
 
+        # params ride as jit ARGS: closing over them would capture ~8 GB
+        # of constants into the lowered graph (axon remote compile caps
+        # request size; see CLAUDE.md)
         def make_gen_leg(T_):
-            def gen_leg(acc, ids, clip_px, attn_mask):
+            def gen_leg(acc, lp, ids, clip_px, attn_mask):
                 g = greedy_generate(
-                    llava, llava_params, ids,
+                    llava, lp, ids,
                     clip_px + acc.astype(dtype) * 1e-6,
                     max_new_tokens=T_, eos_id=-1, attn_mask=attn_mask,
                     kv_cache=kv_kind,
@@ -409,17 +412,21 @@ def main():
 
             return gen_leg
 
-        def sam_leg(acc, sam_px):
+        def sam_leg(acc, tp, sam_px):
             emb = ivlm.apply(
-                tail_params, sam_px + acc.astype(dtype) * 1e-6,
+                tp, sam_px + acc.astype(dtype) * 1e-6,
                 method=InteractVLM.encode_sam_images,
             )
             return emb.mean()
 
-        def tail_leg(acc, seg_hidden, token_id, sam_px, cams):
+        def tail_leg(acc, tp, seg_hidden, token_id, sam_px, cams):
+            # perturb sam_px too: a loop-invariant sam_px lets XLA hoist
+            # the SAM encode out of the fori_loop, which made
+            # t_tail < t_sam (negative decode-tail) in round-3 runs
             masks = ivlm.apply(
-                tail_params, seg_hidden + acc.astype(dtype) * 1e-6,
-                token_id, sam_px, cams, mask_size,
+                tp, seg_hidden + acc.astype(dtype) * 1e-6,
+                token_id, sam_px + acc.astype(dtype) * 1e-6, cams,
+                mask_size,
                 method=InteractVLM.masks_from_seg_hidden,
             )
             return masks.mean()
@@ -433,10 +440,13 @@ def main():
         seg_hidden_b = jnp.zeros((B, lcfg.hidden_size), dtype)
         token_id_b = jnp.full((B,), seg_idx, jnp.int32)
         masks_b = jnp.zeros((B, V, mask_size, mask_size), jnp.float32)
-        t_gen1 = time_leg(make_gen_leg(1), ids, clip_px, attn_mask)
-        t_genT = time_leg(make_gen_leg(T), ids, clip_px, attn_mask)
-        t_sam = time_leg(sam_leg, sam_px)
-        t_tail = time_leg(tail_leg, seg_hidden_b, token_id_b, sam_px, cams)
+        t_gen1 = time_leg(make_gen_leg(1), llava_params, ids, clip_px,
+                          attn_mask)
+        t_genT = time_leg(make_gen_leg(T), llava_params, ids, clip_px,
+                          attn_mask)
+        t_sam = time_leg(sam_leg, tail_params, sam_px)
+        t_tail = time_leg(tail_leg, tail_params, seg_hidden_b, token_id_b,
+                          sam_px, cams)
         t_lift = time_leg(lift_leg, masks_b, gidx, gw)
         log(f"legs(ms/batch of {B}): clip+prefill={t_gen1:.0f} "
             f"decode({T}t)={t_genT - t_gen1:.0f} sam_encode={t_sam:.0f} "

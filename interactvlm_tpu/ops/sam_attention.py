@@ -114,69 +114,65 @@ def _grid_pad_width(W: int, block_k: int = BLOCK_K) -> int:
     return block_k
 
 
-def _window_kernel(q_ref, k_ref, v_ref, f_ref, o_ref, s_ref, *, lk, scale,
-                   W, nH, hq=None):
-    """Single-block attention over one window batch-row.
+def _window_kernel(q_ref, k_ref, v_ref, f_ref, o_ref, s_ref, *, scale,
+                   W, hq, G):
+    """Single-block attention over G independent (window, head) rows.
 
-    q/k/v_ref: (1, nH, Lg, Dp); f_ref: (1, nH, Fp, Lg) f32 combined bias
-    factors -- rows [0, H) hold rel_h[kh, q], rows [Hq, Hq+W) hold
-    rel_w^T[kw, q] (zero elsewhere); o_ref: (1, nH, Lg, Dp); s_ref:
-    (nH, Lg, Lg) f32 VMEM scratch. Lg >= lk is the padded token count.
+    q/k/v_ref: (G, L, D); f_ref: (G, Fp, L) f32 combined bias factors --
+    rows [0, H) hold rel_h[kh, q], rows [H, H+W) hold rel_w^T[kw, q];
+    o_ref: (G, L, D); s_ref: (G, L, L) f32 VMEM scratch.
 
-    The 14x14 SAM windows are short enough that every head's (Lg, Lg)
+    The 14x14 SAM windows are short enough that every row's (L, L)
     logits tile lives in VMEM -- no flash streaming, one softmax. The
     decomposed rel-pos bias is reconstructed from the stacked factors
     with ONE expansion matmul:
 
       bias[q, c] = rel_h[c // W, q] + rel_w[q, c % W]
                  = sum_j f[j, q] * E[j, c],
-      E[j, c] = (c // W == j) for j < Hq ; (c % W == j - Hq) for j >= Hq.
+      E[j, c] = (c // W == j) for j < hq ; (c % W == j - hq) otherwise.
 
-    Structure: two MXU-only head loops (static Python unroll: Mosaic
-    pipelines independent dots back-to-back; a fori_loop's dynamic slices
-    measured ~4x slower) around ONE softmax vectorized across all heads.
-    The previous form ran the full f32 softmax chain inside the head loop
-    and serialized VPU/MXU on each head's dependency chain: 9.8 ms/layer
-    vs ~3 ms restructured (scripts/winattn_probe.py). The XLA path
-    materializes the (B*nW, nH, L, L) bias + f32 logits in HBM and is
-    ~1.5x slower still.
+    Structure: windows x heads are fully independent, so the wrapper
+    flattens them into one row axis and each program takes G rows: two
+    MXU-only row loops (static Python unroll: Mosaic pipelines
+    independent dots back-to-back; a fori_loop's dynamic slices measured
+    ~4x slower) around ONE softmax vectorized across the G rows. Earlier
+    forms (per-window programs with an in-loop f32 softmax; host-side
+    padding to (224, 128) tiles) measured 9.8 ms/layer vs ~0.5 ms of
+    attention math -- padding traffic and per-program overhead dominate
+    at these sizes (scripts/winattn_probe.py).
     """
-    Lg = q_ref.shape[2]
-    Fp = f_ref.shape[2]
-    Hq = Fp // 2 if hq is None else hq
+    Lg = q_ref.shape[1]
+    Fp = f_ref.shape[1]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (Fp, Lg), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Fp, Lg), 0)
     e = jnp.where(
-        row < Hq, (col // W == row).astype(jnp.float32),
-        (col % W == row - Hq).astype(jnp.float32),
+        row < hq, (col // W == row).astype(jnp.float32),
+        (col % W == row - hq).astype(jnp.float32),
     )  # (Fp, Lg)
 
-    # phase 1: per-head logits (MXU), written to the shared scratch
-    for h in range(nH):
+    # phase 1: per-row logits (MXU), written to the shared scratch
+    for g in range(G):
         s = jax.lax.dot_general(
-            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+            q_ref[g], k_ref[g], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        s_ref[h] = s + jax.lax.dot_general(
-            f_ref[0, h], e, (((0,), (0,)), ((), ())),
+        s_ref[g] = s + jax.lax.dot_general(
+            f_ref[g], e, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    # phase 2: ONE masked softmax across all heads (vectorized VPU)
+    # phase 2: ONE softmax across all rows (vectorized VPU)
     S = s_ref[...]
-    if lk < Lg:  # only when the token axis is padded
-        k_col = jax.lax.broadcasted_iota(jnp.int32, (nH, Lg, Lg), 2)
-        S = jnp.where(k_col < lk, S, NEG_INF)
     m = jnp.max(S, axis=2, keepdims=True)
     p = jnp.exp(S - m)
     l = jnp.sum(p, axis=2, keepdims=True)
     s_ref[...] = p / jnp.where(l == 0.0, 1.0, l)
 
-    # phase 3: per-head P @ V (MXU)
-    for h in range(nH):
-        o_ref[0, h] = jax.lax.dot_general(
-            s_ref[h].astype(v_ref.dtype), v_ref[0, h],
+    # phase 3: per-row P @ V (MXU)
+    for g in range(G):
+        o_ref[g] = jax.lax.dot_general(
+            s_ref[g].astype(v_ref.dtype), v_ref[g],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
@@ -220,46 +216,53 @@ def fused_window_attention(q, k, v, rel_pos_h, rel_pos_w, hw,
     ).reshape(BW, nH, W, L)
     factors = jnp.concatenate([rel_h, rel_w], axis=2)  # (BW, nH, Fp, L)
 
-    # heads-per-program sized so blocks + the f32 logits scratch
-    # double-buffer inside VMEM
+    # flatten (window, head) -> one row axis (leading-dim reshape = free)
+    R = BW * nH
+    qf = q.reshape(R, L, D)
+    kf = k.reshape(R, L, D)
+    vf = v.reshape(R, L, D)
+    ff = factors.reshape(R, Fp, L)
+
+    # rows-per-program sized so blocks + the f32 logits scratch
+    # double-buffer inside VMEM; bigger G amortizes per-program overhead
     lanes = ((L + 127) // 128) * 128
-    HB = 1
-    for cand in (nH, 8, 4, 2, 1):
-        if nH % cand == 0:
+    G = 1
+    for cand in (32, 16, 8, 4, 2, 1):
+        if R % cand == 0:
             blk = (3 * 2 + 2) * cand * L * D * 2  # dbl-buffered qkvo bf16
             blk += 4 * cand * Fp * lanes * 2
             blk += 4 * cand * L * lanes  # f32 scratch
             if blk <= 12 * 1024 * 1024:
-                HB = cand
+                G = cand
                 break
 
     out = pl.pallas_call(
         functools.partial(
-            _window_kernel, lk=L, scale=scale, W=W, nH=HB, hq=H
+            _window_kernel, scale=scale, W=W, hq=H, G=G
         ),
-        grid=(BW, nH // HB),
+        grid=(R // G,),
         in_specs=[
-            pl.BlockSpec((1, HB, L, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, L, D), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HB, L, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, L, D), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HB, L, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, L, D), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HB, Fp, L), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((G, Fp, L), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, HB, L, D), lambda b, h: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((G, L, D), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BW, nH, L, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((HB, L, L), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((R, L, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((G, L, L), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * BW * nH * L * L * D,
             bytes_accessed=BW * nH * L * D * 2 * 4,
             transcendentals=BW * nH * L * L,
         ),
-    )(q, k, v, factors)
-    return out
+    )(qf, kf, vf, ff)
+    return out.reshape(BW, nH, L, D)
 
 
 def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):

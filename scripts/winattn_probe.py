@@ -53,34 +53,34 @@ def main():
 
     def run_kernel_nofactors(q, k, v):
         # zero factors built without the einsums: isolates pallas_call cost
-        Lg, Dp, Fp = 224, 128, 32
         import functools
 
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        factors = jnp.zeros((BW, nH, Fp, Lg), jnp.float32)
-        qp = sa._pad_to(sa._pad_to(q, Lg, 2), Dp, 3)
-        kp = sa._pad_to(sa._pad_to(k, Lg, 2), Dp, 3)
-        vp = sa._pad_to(sa._pad_to(v, Lg, 2), Dp, 3)
+        R, G = BW * nH, 16
+        qf = q.reshape(R, L, D)
+        kf = k.reshape(R, L, D)
+        vf = v.reshape(R, L, D)
+        ff = jnp.zeros((R, 2 * H, L), jnp.float32)
         out = pl.pallas_call(
             functools.partial(
-                sa._window_kernel, lk=L, scale=D ** -0.5, W=W, nH=nH
+                sa._window_kernel, scale=D ** -0.5, W=W, hq=H, G=G
             ),
-            grid=(BW,),
+            grid=(R // G,),
             in_specs=[
-                pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+                pl.BlockSpec((G, L, D), lambda r: (r, 0, 0),
                              memory_space=pltpu.VMEM)
             ] * 3 + [
-                pl.BlockSpec((1, nH, Fp, Lg), lambda b: (b, 0, 0, 0),
+                pl.BlockSpec((G, 2 * H, L), lambda r: (r, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, nH, Lg, Dp), lambda b: (b, 0, 0, 0),
+            out_specs=pl.BlockSpec((G, L, D), lambda r: (r, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((BW, nH, Lg, Dp), q.dtype),
-            scratch_shapes=[pltpu.VMEM((nH, Lg, Lg), jnp.float32)],
-        )(qp, kp, vp, factors)
-        return out[:, :, :L, :D]
+            out_shape=jax.ShapeDtypeStruct((R, L, D), q.dtype),
+            scratch_shapes=[pltpu.VMEM((G, L, L), jnp.float32)],
+        )(qf, kf, vf, ff)
+        return out.reshape(BW, nH, L, D)
 
     def run_qkvproj(q, k, v):
         # two (BW*L, 1280)x(1280, 3840/1280) matmuls: the block's non-attn
@@ -146,12 +146,29 @@ def main():
         vp = sa._pad_to(sa._pad_to(v, Lg, 2), Dp, 3)
         return (qp + kp + vp)[:, :, :L, :D]
 
+    def run_factors_only(q, k, v):
+        # the XLA-side rel-pos factor einsums + concat (kernel inputs)
+        Rh = sa._rel_tables(rh, H).astype(q.dtype)
+        Rw = sa._rel_tables(rw, W).astype(q.dtype)
+        r_q = q.reshape(BW, nH, H, W, D)
+        rel_h = jnp.einsum(
+            "bnhwc,hkc->bnkhw", r_q, Rh,
+            preferred_element_type=jnp.float32,
+        ).reshape(BW, nH, H, L)
+        rel_w = jnp.einsum(
+            "bnhwc,wkc->bnkhw", r_q, Rw,
+            preferred_element_type=jnp.float32,
+        ).reshape(BW, nH, W, L)
+        f = jnp.concatenate([rel_h, rel_w], axis=2)
+        return f.reshape(BW * nH, 2 * H, L)[..., :D]
+
     fns = {
         "xla": run_xla,
         "kernel": run_kernel,
         "kernel_nofactors": run_kernel_nofactors,
         "kernel_copy": run_kernel_copy,
         "pads_only": run_pads_only,
+        "factors_only": run_factors_only,
         "qkvproj": run_qkvproj,
         "global_fused": run_global_fused,
         "global_plain": run_global_plain,
