@@ -104,6 +104,13 @@ def collate(
     """
     V = multiview_channels
     if num_conversations > 1:
+        # the reference's C>1 mixtures are the LISA-legacy seg tasks
+        # (sem/refer/reason + VQA, dataset.py:196); object-contact
+        # datasets always use one conversation per image
+        assert not include_object_maps, (
+            "multi-conversation collate does not carry object lift maps; "
+            "train object datasets with num_conversations=1"
+        )
         return _collate_multiconv(
             samples, tokenizer, max_len, conv_type, use_mm_start_end,
             V, num_human_vertices, num_object_points, human_maps,

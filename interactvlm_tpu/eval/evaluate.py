@@ -545,34 +545,50 @@ def main(argv=None):
     else:
         from interactvlm_tpu.data.collate import collate
         from interactvlm_tpu.data.datasets import DATASET_REGISTRY, ValDataset
-        from transformers import AutoTokenizer
 
         from interactvlm_tpu.utils.constants import add_new_tokens
 
-        tokenizer = AutoTokenizer.from_pretrained(cfg_json["version"])
-        tokenizer.pad_token = tokenizer.unk_token
+        if cfg_json.get("tokenizer") == "whitespace":
+            # offline deterministic tokenizer (train --tokenizer whitespace)
+            from interactvlm_tpu.utils.testing import WhitespaceTokenizer
+
+            tokenizer = WhitespaceTokenizer(train_args.model_max_length)
+        else:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(cfg_json["version"])
+            tokenizer.pad_token = tokenizer.unk_token
         tokenizer, *_ = add_new_tokens(tokenizer, train_args.token_type)
+        ds_kw = dict(image_size=train_args.image_size,
+                     clip_size=train_args.clip_size)
+        if "hcontact" in args.val_dataset and "h2d" not in args.val_dataset:
+            ds_kw["num_vertices"] = cfg.num_human_vertices
         ds = ValDataset(
             DATASET_REGISTRY[args.val_dataset](
-                args.dataset_dir, split="test"
+                args.dataset_dir, split="test", **ds_kw
             )
         )
-        mask_size = ds.dataset.view_set.mask_size
-        maps_npz = np.load(
-            os.path.join(args.dataset_dir, "human_lift_maps.npz")
+        mask_size = (
+            train_args.image_size
+            if train_args.image_size != 1024
+            else ds.dataset.view_set.mask_size
         )
-        human_maps = {
-            "p2v": jnp.asarray(maps_npz["p2v"]),
-            "bary": jnp.asarray(maps_npz["bary"]),
-            "num_vertices": cfg.num_human_vertices,
-        }
+        from interactvlm_tpu.train.train import _load_human_maps
+
+        human_maps = _load_human_maps(args.dataset_dir)
+        if human_maps is not None:
+            human_maps = {
+                **human_maps, "num_vertices": cfg.num_human_vertices,
+            }
 
         def batches():
             for i in range(0, len(ds), args.batch_size):
                 samples = [ds[j] for j in
                            range(i, min(i + args.batch_size, len(ds)))]
                 yield collate(samples, tokenizer,
-                              max_len=train_args.model_max_length)
+                              max_len=train_args.model_max_length,
+                              num_human_vertices=cfg.num_human_vertices,
+                              human_maps=human_maps)
 
     dist_matrix = None
     if args.geodesic_npy:

@@ -28,6 +28,21 @@ def parse_args(argv=None):
     p.add_argument("--dataset_dir", default="./data")
     p.add_argument("--version", default=None,
                    help="HF model dir for tokenizer/weights")
+    p.add_argument("--tokenizer", default="hf",
+                   choices=["hf", "whitespace"],
+                   help="'whitespace' = offline deterministic tokenizer "
+                        "(tests / zero-egress runs)")
+    p.add_argument("--model_scale", default="full",
+                   choices=["full", "tiny"],
+                   help="'tiny' = tiny towers + REAL data path (the "
+                        "closed-loop learning tests)")
+    p.add_argument("--image_size", type=int, default=1024,
+                   help="SAM view render size fed to the datasets")
+    p.add_argument("--clip_size", type=int, default=224)
+    p.add_argument("--num_human_vertices", type=int, default=6890)
+    p.add_argument("--num_conversations", type=int, default=1,
+                   help="conversations per image row block (reference "
+                        "num_classes_per_sample, dataset.py:196)")
     # schedule (train.py:83-99; run_train.sh presets)
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--steps_per_epoch", type=int, default=500)
@@ -97,6 +112,29 @@ def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
     if args.synthetic:
         llama = cfgs.llama_tiny(lora_rank=args.lora_r and 4)
         cfg = cfgs.interactvlm_tiny(llama=llama)
+    elif getattr(args, "model_scale", "full") == "tiny":
+        # tiny towers on the REAL data path (closed-loop learning tests)
+        llama = cfgs.llama_tiny(lora_rank=args.lora_r and 4)
+        tiny_kw = {}
+        if seg_token_idx is not None:
+            tiny_kw = dict(seg_token_idx=seg_token_idx,
+                           hseg_token_idx=hseg_token_idx,
+                           oseg_token_idx=oseg_token_idx)
+        cfg = cfgs.interactvlm_tiny(
+            llama=llama, **tiny_kw,
+            token_type=args.token_type,
+            hC_sam_view_type=args.hC_sam_view_type,
+            oC_sam_view_type=args.oC_sam_view_type,
+            multiview_channels=args.multiview_channels,
+            num_human_vertices=args.num_human_vertices,
+            ce_loss_weight=args.ce_loss_weight,
+            bce_loss_weight=args.bce_loss_weight,
+            bce_loss_alpha=args.bce_loss_alpha,
+            dice_loss_weight=args.dice_loss_weight,
+            dice_loss_scale=args.dice_loss_scale,
+            hC_loss_weight=args.hC_loss_weight,
+            oC_loss_weight=args.oC_loss_weight,
+        )
     else:
         llama_kw = dict(lora_rank=args.lora_r, lora_alpha=args.lora_alpha)
         if vocab_size is not None:
@@ -111,6 +149,7 @@ def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
         cfg = cfgs.InteractVLMConfig(
             llama=cfgs.llama_13b(**llama_kw),
             **tok_kw,
+            num_human_vertices=args.num_human_vertices,
             token_type=args.token_type,
             hC_sam_view_type=args.hC_sam_view_type,
             oC_sam_view_type=args.oC_sam_view_type,
@@ -139,6 +178,24 @@ def synthetic_batch_iter(cfg, batch_size, mask_size, seed=0):
         i += 1
 
 
+def _load_human_maps(dataset_dir):
+    """Find the Vitruvian p2v/bary lift maps: either the consolidated
+    ``human_lift_maps.npz`` or the datagen tree's
+    ``hcontact_vitruvian_mv2/lift_maps.npz`` (datagen/recipes.py)."""
+    import jax.numpy as jnp
+
+    for rel in ("human_lift_maps.npz",
+                os.path.join("hcontact_vitruvian_mv2", "lift_maps.npz")):
+        path = os.path.join(dataset_dir, rel)
+        if os.path.exists(path):
+            maps_npz = np.load(path)
+            return {
+                "p2v": jnp.asarray(maps_npz["p2v"]),
+                "bary": jnp.asarray(maps_npz["bary"]),
+            }
+    return None
+
+
 def real_batch_iter(args, cfg, tokenizer):
     """Hybrid-dataset loader with a background prefetch thread."""
     from interactvlm_tpu.data.collate import collate
@@ -155,13 +212,18 @@ def real_batch_iter(args, cfg, tokenizer):
     datasets = []
     for name in names:
         ctor = DATASET_REGISTRY[name]
-        kw = {}
+        kw = dict(image_size=args.image_size, clip_size=args.clip_size)
         if name == "hcontact":
-            kw = dict(view_type=args.hC_sam_view_type,
-                      question_type=args.hC_question_type)
+            kw.update(view_type=args.hC_sam_view_type,
+                      question_type=args.hC_question_type,
+                      num_vertices=args.num_human_vertices)
         elif name == "oafford":
-            kw = dict(view_type=args.oC_sam_view_type,
+            kw.update(view_type=args.oC_sam_view_type,
                       question_type=args.oC_question_type)
+        if getattr(args, "num_conversations", 1) > 1 and name in (
+            "sem_seg", "sem_seg_lisa", "refer_seg", "refer_seg_lisa"
+        ):
+            kw["num_classes_per_sample"] = args.num_conversations
         datasets.append(ctor(args.dataset_dir, **kw))
     hybrid = HybridDataset(
         datasets, rates,
@@ -173,6 +235,11 @@ def real_batch_iter(args, cfg, tokenizer):
     # object lift maps ride every batch iff the mixture contains object
     # datasets (fixed per run so the jit batch structure stays static)
     include_object_maps = any(n in ("oafford", "ocontact") for n in names)
+
+    # human lift maps: without them the hC 3D loss silently drops out of
+    # real-data training (reference loads the fixed Vitruvian p2v/bary
+    # maps per view set, components.py:204-218)
+    human_maps = _load_human_maps(args.dataset_dir)
 
     # Per-sample construction (B x V 1024^2 PNG decodes per batch) runs on
     # a thread pool: the C++ decoder releases the GIL so threads scale
@@ -201,6 +268,9 @@ def real_batch_iter(args, cfg, tokenizer):
                 samples, tokenizer, max_len=args.model_max_length,
                 multiview_channels=args.multiview_channels,
                 include_object_maps=include_object_maps,
+                human_maps=human_maps,
+                num_human_vertices=cfg.num_human_vertices,
+                num_conversations=getattr(args, "num_conversations", 1),
             )
             yield batch
 
@@ -241,19 +311,23 @@ def make_validator(args, cfg, model, tokenizer, example, mesh=None):
         from interactvlm_tpu.data.datasets import DATASET_REGISTRY, ValDataset
 
         name = args.dataset.split("||")[0]
-        ds = ValDataset(DATASET_REGISTRY[name](args.dataset_dir, split="val"))
-        mask_size = ds.dataset.view_set.mask_size
+        ds_kw = dict(image_size=args.image_size, clip_size=args.clip_size)
+        if name == "hcontact":
+            ds_kw["view_type"] = args.hC_sam_view_type
+            ds_kw["num_vertices"] = args.num_human_vertices
+        ds = ValDataset(
+            DATASET_REGISTRY[name](args.dataset_dir, split="val", **ds_kw)
+        )
+        mask_size = (
+            args.image_size
+            if args.image_size != 1024
+            else ds.dataset.view_set.mask_size
+        )
         ds_name = name
-        maps_path = os.path.join(args.dataset_dir, "human_lift_maps.npz")
-        human_maps = None
-        if os.path.exists(maps_path):
-            import jax.numpy as jnp
-
-            maps_npz = np.load(maps_path)
+        human_maps = _load_human_maps(args.dataset_dir)
+        if human_maps is not None:
             human_maps = {
-                "p2v": jnp.asarray(maps_npz["p2v"]),
-                "bary": jnp.asarray(maps_npz["bary"]),
-                "num_vertices": cfg.num_human_vertices,
+                **human_maps, "num_vertices": cfg.num_human_vertices,
             }
 
         def batches():
@@ -263,7 +337,9 @@ def make_validator(args, cfg, model, tokenizer, example, mesh=None):
                            range(i, min(i + args.batch_size, len(ds)))]
                 yield collate(samples, tokenizer,
                               max_len=args.model_max_length,
-                              multiview_channels=args.multiview_channels)
+                              multiview_channels=args.multiview_channels,
+                              num_human_vertices=cfg.num_human_vertices,
+                              human_maps=human_maps)
 
     def val_fn(params):
         # distributed eval: shard every batch over the mesh's data axis
@@ -303,21 +379,29 @@ def main(argv=None):
     tokenizer = None
     token_kw = {}
     if not args.synthetic:
-        from transformers import AutoTokenizer
-
         from interactvlm_tpu.utils.constants import add_new_tokens
 
-        tokenizer = AutoTokenizer.from_pretrained(
-            args.version, model_max_length=args.model_max_length
-        )
-        tokenizer.pad_token = tokenizer.unk_token
+        if args.tokenizer == "whitespace":
+            # offline deterministic tokenizer (zero-egress closed loop)
+            from interactvlm_tpu.utils.testing import WhitespaceTokenizer
+
+            tokenizer = WhitespaceTokenizer(args.model_max_length)
+        else:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                args.version, model_max_length=args.model_max_length
+            )
+            tokenizer.pad_token = tokenizer.unk_token
         tokenizer, seg, hseg, oseg = add_new_tokens(
             tokenizer, args.token_type
         )
         token_kw = dict(
-            vocab_size=len(tokenizer), seg_token_idx=seg,
+            seg_token_idx=seg,
             hseg_token_idx=hseg, oseg_token_idx=oseg,
         )
+        if args.tokenizer != "whitespace":
+            token_kw["vocab_size"] = len(tokenizer)
 
     model, cfg = build_model_and_config(args, **token_kw)
     save_config(

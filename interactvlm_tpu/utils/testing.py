@@ -18,6 +18,11 @@ class _TokOut:
     def __init__(self, ids):
         self.input_ids = ids
 
+    def __getitem__(self, key):  # HF BatchEncoding dict access
+        if key == "input_ids":
+            return self.input_ids
+        raise KeyError(key)
+
 
 class WhitespaceTokenizer:
     """Minimal deterministic HF-tokenizer stand-in for offline tests:
