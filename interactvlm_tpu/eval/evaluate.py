@@ -220,6 +220,7 @@ def validate(
     prec_m = AverageMeter("Prec")
     rec_m = AverageMeter("Rec")
     geo_m = AverageMeter("Geo")
+    seg_m = AverageMeter("SegRate")
     sim_m = AverageMeter("SIM")
     mae_m = AverageMeter("MAE")
     auc_m = AverageMeter("AUC")
@@ -249,6 +250,9 @@ def validate(
             )
             pred_masks = out["pred_masks"]
             pred_3d = out["pred_contact_3d"]
+            # fraction of rows that emitted a seg token: the first thing
+            # to check when generate-mode metrics come back zero
+            seg_m.update(float(np.mean(out["has_seg"])))
             if is_2d and out["pred_masks_original"] is not None:
                 for b, pm in enumerate(out["pred_masks_original"]):
                     gt = np.asarray(meta["label_list"][b])
@@ -331,6 +335,8 @@ def validate(
         "giou": float(np.asarray(giou_m.avg).reshape(-1)[-1]),
         "ciou": float(iou_class.reshape(-1)[-1]),
     }
+    if seg_m.count:
+        results["seg_rate"] = float(seg_m.avg)
     if is_h or is_oc:
         results.update(
             f1=float(f1_m.avg), precision=float(prec_m.avg),

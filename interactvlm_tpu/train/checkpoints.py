@@ -85,11 +85,13 @@ class CheckpointManager:
         """Best-metric-gated save (reference train.py:434-468)."""
         improved = (
             self.best_score is None
-            or (score > self.best_score) == higher_is_better
+            # tie -> update: among equal scores prefer the most-trained
+            # params (otherwise a flat early metric pins "best" to the
+            # first checkpoint forever -- e.g. val F1 0.0 while the CE
+            # leg is still learning)
             or score == self.best_score
+            or (score > self.best_score) == higher_is_better
         )
-        if self.best_score is not None and score == self.best_score:
-            improved = False
         if not improved:
             return False
         self.best_score = score

@@ -26,12 +26,26 @@ class _TokOut:
 
 class WhitespaceTokenizer:
     """Minimal deterministic HF-tokenizer stand-in for offline tests:
-    whitespace/punctuation word pieces, bos/eos/pad specials, growable
-    vocab, ``add_tokens`` support."""
+    whitespace/punctuation word pieces, bos/eos/pad specials,
+    ``add_tokens`` support.
 
-    def __init__(self, model_max_length: int = 512):
+    Word ids are STABLE HASHES (not first-seen order): the closed-loop
+    tests tokenize in separate train and eval processes, and an
+    order-grown vocab would map the same question to different ids in
+    each -- the eval would feed the model differently-coded input than
+    it trained on. Specials sit at 0-3, ``add_tokens`` slots at 4-15
+    (assigned in call order, which is fixed at startup by
+    ``add_new_tokens``), hashed words at 16..max_vocab-1 (collisions
+    are acceptable for tests)."""
+
+    _ADDED_BASE = 4
+    _HASH_BASE = 16
+
+    def __init__(self, model_max_length: int = 512, max_vocab: int = 512):
         self.model_max_length = model_max_length
+        self.max_vocab = max_vocab
         self.vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3}
+        self._next_added = self._ADDED_BASE
         self.bos_token_id = 1
         self.eos_token_id = 2
         self.pad_token_id = 0
@@ -49,7 +63,12 @@ class WhitespaceTokenizer:
 
     def _id(self, piece: str) -> int:
         if piece not in self.vocab:
-            self.vocab[piece] = len(self.vocab)
+            import hashlib
+
+            h = int(hashlib.sha1(piece.encode()).hexdigest()[:8], 16)
+            self.vocab[piece] = self._HASH_BASE + h % (
+                self.max_vocab - self._HASH_BASE
+            )
         return self.vocab[piece]
 
     def __call__(self, text: str, add_special_tokens: bool = True):
@@ -59,7 +78,9 @@ class WhitespaceTokenizer:
         return _TokOut(ids)
 
     def add_tokens(self, token: str):
-        self._id(token)
+        if token not in self.vocab:
+            self.vocab[token] = self._next_added
+            self._next_added += 1
 
     def convert_ids_to_tokens(self, idx: int) -> str:
         for k, v in self.vocab.items():
