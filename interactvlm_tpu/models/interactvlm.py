@@ -210,7 +210,30 @@ class InteractVLM(nn.Module):
                 jnp.repeat(out.hidden, V, axis=0),
             )
             image_emb = fused.reshape(image_emb.shape)
-        low_res = self.decode_view_masks(image_emb, view_tokens)
+        if cfg.use_diff_decoder:
+            # per-SAMPLE decoder routing (reference ModifiedSAM.forward
+            # selects by ds_name per row, InteractVLM.py:46-54,429-435):
+            # hcontact rows -> human decoder, oafford/ocontact -> object,
+            # everything else (VQA / 2D seg / h2dcontact) -> default.
+            # All three run on every row (static shapes; the decoder is
+            # <1% of forward FLOPs) and indicators select. Without this
+            # the domain decoders would never receive training gradients
+            # while eval/demo select them. Note the reference ALIASES all
+            # three decoders to one module at init -- genuinely separate
+            # decoders are a deliberate, documented deviation.
+            low_def = self.decode_view_masks(image_emb, view_tokens)
+            low_h = self.decode_view_masks(
+                image_emb, view_tokens, "hcontact"
+            )
+            low_o = self.decode_view_masks(
+                image_emb, view_tokens, "ocontact"
+            )
+            sel_h = is_h[:, None, None, None]
+            sel_o = (is_oa | is_oc)[:, None, None, None]
+            low_res = jnp.where(sel_h, low_h, jnp.where(sel_o, low_o,
+                                                        low_def))
+        else:
+            low_res = self.decode_view_masks(image_emb, view_tokens)
         mask_size = batch["gt_masks"].shape[-1]
         pred_masks = self.upsample_masks(low_res, mask_size)
         # rows without a seg token predict nothing

@@ -126,3 +126,55 @@ class TestInferenceTail:
         assert contact.shape == (B, cfg.num_human_vertices)
         c = np.asarray(contact)
         assert (c >= 0).all() and (c <= 1).all()
+
+
+class TestDifDeTraining:
+    def test_domain_decoders_receive_gradients(self):
+        """DifDe training must route per-sample domains so the human and
+        object decoders actually train (reference ModifiedSAM.forward
+        selects by ds_name, InteractVLM.py:46-54,429-435; previously only
+        the default decoder ever saw gradients while eval selected the
+        untrained domain decoders)."""
+        cfg = interactvlm_tiny(token_type="Gen-DifDe")
+        assert cfg.use_diff_decoder
+        model = InteractVLM(cfg)
+        batch = make_batch(cfg, tasks=(TASK_HCONTACT, TASK_OAFFORD))
+        params = model.init(jax.random.PRNGKey(0), batch)
+
+        def loss_fn(p):
+            return model.apply(p, batch)["loss"]
+
+        g = jax.grad(loss_fn)(params)["params"]["sam"]
+        for name in ("human_mask_decoder", "object_mask_decoder"):
+            assert any(
+                float(jnp.abs(x).max()) > 0
+                for x in jax.tree.leaves(g[name])
+            ), f"{name} got no gradient"
+
+    def test_eval_path_uses_matching_decoder(self):
+        """masks_from_seg_hidden('hcontact') must hit the SAME decoder the
+        hcontact training rows trained."""
+        import numpy as np
+
+        cfg = interactvlm_tiny(token_type="Gen-DifDe")
+        model = InteractVLM(cfg)
+        batch = make_batch(cfg, B=2, tasks=(TASK_HCONTACT, TASK_HCONTACT))
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        hid = jnp.zeros(
+            (2, cfg.llama.hidden_size), out["pred_masks"].dtype
+        )
+        tok = jnp.full((2,), cfg.seg_token_idx, jnp.int32)
+        m_h = model.apply(
+            params, hid, tok, batch["sam_images"], batch["cam_params"],
+            MASK, "hcontact", method=InteractVLM.masks_from_seg_hidden,
+        )
+        m_def = model.apply(
+            params, hid, tok, batch["sam_images"], batch["cam_params"],
+            MASK, None, method=InteractVLM.masks_from_seg_hidden,
+        )
+        # separate decoders -> different random-init outputs
+        assert not np.allclose(np.asarray(m_h), np.asarray(m_def))
+        # and training's hcontact rows must match the domain decode
+        m_train = np.asarray(out["pred_masks"])
+        assert m_train.shape == np.asarray(m_h).shape
