@@ -65,6 +65,23 @@ def build_conversation(
     return conv.get_prompt()
 
 
+class TemplateFixedRandom(random.Random):
+    """Degenerate dataset rng: always the FIRST question/answer template,
+    no template-level coin flips; sample/index selection stays random
+    (inherited). Used by the closed-loop learning tests, where template
+    variety only slows the tiny model's convergence without exercising
+    any additional plumbing."""
+
+    def choice(self, seq):
+        return seq[0]
+
+    def sample(self, seq, k):
+        return list(seq[:k])
+
+    def random(self):
+        return 1.0
+
+
 class BaseContactDataset:
     """Shared loading/conversation helpers
     (reference ``datasets/base_contact_dataset.py``)."""
@@ -912,7 +929,9 @@ class ValDataset:
         return len(self.dataset)
 
     def __getitem__(self, idx: int) -> Sample:
-        self.dataset.rng = random.Random(self.seed + idx)
+        # preserve the rng class: a TemplateFixedRandom dataset keeps
+        # fixed templates through validation re-seeding
+        self.dataset.rng = type(self.dataset.rng)(self.seed + idx)
         s = self.dataset[idx]
         return dataclasses.replace(s, inference=True)
 

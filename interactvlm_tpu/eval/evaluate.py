@@ -569,11 +569,22 @@ def main(argv=None):
                      clip_size=train_args.clip_size)
         if "hcontact" in args.val_dataset and "h2d" not in args.val_dataset:
             ds_kw["num_vertices"] = cfg.num_human_vertices
-        ds = ValDataset(
-            DATASET_REGISTRY[args.val_dataset](
-                args.dataset_dir, split="test", **ds_kw
+            # score with the SAME prompt family training saw
+            ds_kw["question_type"] = getattr(
+                train_args, "hC_question_type", "parts"
             )
+        elif args.val_dataset == "oafford":
+            ds_kw["question_type"] = getattr(
+                train_args, "oC_question_type", "simple"
+            )
+        inner = DATASET_REGISTRY[args.val_dataset](
+            args.dataset_dir, split="test", **ds_kw
         )
+        if getattr(train_args, "fixed_templates", False):
+            from interactvlm_tpu.data.datasets import TemplateFixedRandom
+
+            inner.rng = TemplateFixedRandom(42)
+        ds = ValDataset(inner)
         mask_size = (
             train_args.image_size
             if train_args.image_size != 1024

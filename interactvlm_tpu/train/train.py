@@ -77,6 +77,11 @@ def parse_args(argv=None):
     p.add_argument("--sample_rates", default="1")
     p.add_argument("--hC_question_type", default="parts")
     p.add_argument("--oC_question_type", default="simple")
+    p.add_argument("--fixed_templates", action="store_true",
+                   help="always use the FIRST question/answer template "
+                        "(sample order stays random) -- for offline "
+                        "closed-loop tests where template variety only "
+                        "slows the tiny model's convergence")
     # parallelism
     p.add_argument("--n_model_shards", type=int, default=1)
     # runtime
@@ -224,7 +229,12 @@ def real_batch_iter(args, cfg, tokenizer):
             "sem_seg", "sem_seg_lisa", "refer_seg", "refer_seg_lisa"
         ):
             kw["num_classes_per_sample"] = args.num_conversations
-        datasets.append(ctor(args.dataset_dir, **kw))
+        ds = ctor(args.dataset_dir, **kw)
+        if getattr(args, "fixed_templates", False):
+            from interactvlm_tpu.data.datasets import TemplateFixedRandom
+
+            ds.rng = TemplateFixedRandom(42)
+        datasets.append(ds)
     hybrid = HybridDataset(
         datasets, rates,
         samples_per_epoch=args.batch_size
@@ -315,9 +325,16 @@ def make_validator(args, cfg, model, tokenizer, example, mesh=None):
         if name == "hcontact":
             ds_kw["view_type"] = args.hC_sam_view_type
             ds_kw["num_vertices"] = args.num_human_vertices
-        ds = ValDataset(
-            DATASET_REGISTRY[name](args.dataset_dir, split="val", **ds_kw)
-        )
+            # validate with the SAME prompt family training saw
+            ds_kw["question_type"] = args.hC_question_type
+        elif name == "oafford":
+            ds_kw["question_type"] = args.oC_question_type
+        inner = DATASET_REGISTRY[name](args.dataset_dir, split="val", **ds_kw)
+        if getattr(args, "fixed_templates", False):
+            from interactvlm_tpu.data.datasets import TemplateFixedRandom
+
+            inner.rng = TemplateFixedRandom(42)
+        ds = ValDataset(inner)
         mask_size = (
             args.image_size
             if args.image_size != 1024
@@ -512,7 +529,10 @@ def main(argv=None):
                     })
                     print(
                         f"epoch {epoch} step {it}/{args.steps_per_epoch} "
-                        f"loss {loss:.4f} lr {lr_now:.2e} "
+                        f"loss {loss:.4f} "
+                        f"ce {float(metrics.get('ce_loss', 0.0)):.4f} "
+                        f"mask {float(metrics.get('mask_loss', 0.0)):.4f} "
+                        f"lr {lr_now:.2e} "
                         f"sec/batch {batch_time.avg:.3f}"
                     )
 

@@ -1,0 +1,109 @@
+"""Full-pipeline learning closed loop (VERDICT r2 #6).
+
+With zero egress there is no way to check accuracy parity against the
+reference's released checkpoints; the only available proxy is that the
+FULL pipeline -- datagen fixture tree -> real dataset/collate path ->
+train loop -> export (LoRA merge) -> generate-mode eval CLI -- actually
+LEARNS: contact F1 after training must beat the untrained baseline.
+This exercises every layer jointly and catches the bug classes this
+architecture invites (frozen-tower autodiff, seg-token plumbing,
+lift-map wiring).
+
+Fixture design notes (measured, 2026-08-17 diagnostics):
+- The canonical-render setup means every sample shares ONE set of SAM
+  view images; the ONLY row-distinguishing decoder input is the
+  projected seg-token embedding, so F1 > baseline proves the
+  text->[SEG]->prompt-token->decoder pathway carries class information.
+- With 4 classes drawn i.i.d. into batches of 8, training stalls at the
+  mean-mask solution: the per-pixel batch gradient fluctuates with the
+  class composition and Adam's second moment tracks that noise,
+  drowning the consistent class-conditional gradient (a fixed batch --
+  zero composition variance -- converges in ~120 steps, the i.i.d.
+  stream is still flat after 600). TWO classes at batch 8 converge in
+  ~250 steps; real-scale training avoids the pathology because
+  pretrained towers separate the classes from step 0.
+- 'parts' questions (the reference's hC default, train.py:76) put the
+  class-correlated body-part words directly before [SEG], so the CE leg
+  also pushes the predictor hidden apart per class.
+"""
+
+import numpy as np
+import pytest
+
+from interactvlm_tpu.datagen.recipes import generate_damon_tree
+from interactvlm_tpu.geometry.views import HUMAN_VIEWS
+
+from tests.test_datagen_recipes import put_image, sphere_mesh
+
+S = 64  # sam_tiny img_size
+
+
+def _make_tree(root, verts, faces):
+    n = len(verts)
+    # two body parts, two objects, disjoint 60-vertex patches: each
+    # class gets a UNIQUE parts answer ("head" vs "legs") and a unique
+    # contact mask
+    segm = {"head": list(range(0, n // 2)), "legs": list(range(n // 2, n))}
+    annot = {}
+    for i, obj in enumerate(["chair", "ball"]):
+        name = f"img{i}.jpg"
+        put_image(root, name)
+        annot[name] = {obj: np.arange(i * 100, i * 100 + 60)}
+    generate_damon_tree(
+        root, annot, verts, faces,
+        HUMAN_VIEWS["4MV-Z_Vitru_mv2"], S, segm,
+    )
+
+
+def _run(root, run_root, exp, epochs, steps, lr):
+    from interactvlm_tpu.train.train import main as train_main
+
+    return train_main([
+        "--tokenizer", "whitespace", "--model_scale", "tiny",
+        "--dataset", "hcontact", "--dataset_dir", root,
+        "--hC_question_type", "parts", "--fixed_templates",
+        "--image_size", str(S), "--clip_size", "28",
+        "--num_human_vertices", "178",
+        "--model_max_length", "384",
+        "--epochs", str(epochs), "--steps_per_epoch", str(steps),
+        "--batch_size", "8", "--lr", str(lr), "--warmup_steps", "10",
+        "--log_base_dir", run_root, "--exp_name", exp,
+        "--val_batches", "2", "--val_every", "4", "--data_workers", "2",
+        "--no_tensorboard",
+    ])
+
+
+@pytest.mark.slow
+def test_full_pipeline_learns_contact(tmp_path):
+    verts, faces = sphere_mesh()
+    assert len(verts) == 178
+    root = str(tmp_path / "data")
+    _make_tree(root, verts, faces)
+
+    runs = str(tmp_path / "runs")
+    # baseline: zero-lr "training" = untrained init, same eval path
+    _run(root, runs, "base", epochs=1, steps=1, lr=0.0)
+    # real training run (2-class fixture converges in ~250 steps)
+    _run(root, runs, "trained", epochs=8, steps=40, lr=1e-2)
+
+    from interactvlm_tpu.train.export import main as export_main
+
+    export_main(["--run_dir", f"{runs}/trained",
+                 "--out_dir", str(tmp_path / "exported")])
+    assert (tmp_path / "exported" / "params").exists()
+
+    from interactvlm_tpu.eval.evaluate import main as eval_main
+
+    def f1_of(run):
+        report = eval_main([
+            "--run_dir", f"{runs}/{run}", "--dataset_dir", root,
+            "--val_dataset", "hcontact", "--batch_size", "4",
+            "--max_batches", "2",
+        ])
+        return report["metrics"]["f1"]
+
+    f1_base = f1_of("base")
+    f1_trained = f1_of("trained")
+    # a learned class->mask mapping lifts F1 far above the untrained
+    # decoder's (which predicts a class-independent mean mask)
+    assert f1_trained > f1_base + 0.2, (f1_base, f1_trained)
