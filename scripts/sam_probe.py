@@ -62,6 +62,14 @@ def main():
     for name in variants:
         cfg = base
         ie_mod.MLPBlock = orig_mlp
+        if name == "int8":
+            # serving int8 config exactly as BENCH_SAM_WQ=int8 builds it
+            # (fused Pallas quantize+matmul+GELU, tanh epilogue)
+            cfg = dataclasses.replace(
+                base, weights_int8=True, gelu_approx=True
+            )
+        elif name == "int8erf":
+            cfg = dataclasses.replace(base, weights_int8=True)
         if name == "gelutanh":
             import flax.linen as nn
 
