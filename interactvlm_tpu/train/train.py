@@ -376,6 +376,10 @@ def main(argv=None):
 
     import jax
 
+    from interactvlm_tpu.runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
+
     from interactvlm_tpu.parallel.mesh import create_mesh
     from interactvlm_tpu.train.checkpoints import (
         CheckpointManager,

@@ -82,6 +82,10 @@ def build_tree(root: str, size: int, n_images: int):
 
 
 def main():
+    from interactvlm_tpu.runtime.hostmem import tune_host_allocator
+
+    tuned = tune_host_allocator()
+    print(f"[data] host allocator tuned: {tuned}", flush=True)
     size = int(os.environ.get("PROBE_SIZE", "1024"))
     n_images = int(os.environ.get("PROBE_IMAGES", "16"))
     n_batches = int(os.environ.get("PROBE_BATCHES", "6"))
