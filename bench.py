@@ -176,6 +176,7 @@ def main():
     from interactvlm_tpu.geometry.lift import (
         build_gather_maps,
         lift_multiview_soft_gather,
+        lift_multiview_soft_gather_lowres,
     )
     from interactvlm_tpu.geometry.rasterizer import build_lift_maps, pick_window
     from interactvlm_tpu.geometry.views import HUMAN_VIEWS
@@ -195,6 +196,11 @@ def main():
     T = int(os.environ.get("BENCH_DECODE_TOKENS", "32"))
     L_TEXT = int(os.environ.get("BENCH_PROMPT", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
+    # lowres: lift 3D contact straight from the 256^2 decoder logits via
+    # on-the-fly bilinear corner taps -- numerically identical to
+    # upsample-to-1024-then-gather (tests/test_geometry.py::TestGatherLift)
+    # without materializing (B, V, 1024, 1024) masks in HBM
+    lift_lowres = os.environ.get("BENCH_LIFT", "lowres") == "lowres"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     if llama_size == "13b":
@@ -339,13 +345,28 @@ def main():
             gen["step_hidden"], first[:, None, None], axis=1
         )[:, 0].astype(dtype)
         token_id = jnp.full((B,), seg_idx, jnp.int32)
-        masks = ivlm.apply(
-            tail_params, seg_hidden, token_id, sam_px, cams, mask_size,
-            method=InteractVLM.masks_from_seg_hidden,
-        )
-        lifted = jax.vmap(
-            lambda m: lift_multiview_soft_gather(m, gidx, gw)
-        )(masks)
+        if lift_lowres:
+            # exactly-equivalent low-res lift (tests/test_geometry.py::
+            # TestGatherLift): gather the 4 bilinear corner taps straight
+            # from the (B, V, 256, 256) decoder logits instead of
+            # materializing (B, V, 1024, 1024) upsampled masks in HBM
+            low = ivlm.apply(
+                tail_params, seg_hidden, token_id, sam_px, cams,
+                method=InteractVLM.low_res_masks_from_seg_hidden,
+            )
+            lifted = jax.vmap(
+                lambda m: lift_multiview_soft_gather_lowres(
+                    m, gidx, gw, (mask_size, mask_size)
+                )
+            )(low)
+        else:
+            masks = ivlm.apply(
+                tail_params, seg_hidden, token_id, sam_px, cams, mask_size,
+                method=InteractVLM.masks_from_seg_hidden,
+            )
+            lifted = jax.vmap(
+                lambda m: lift_multiview_soft_gather(m, gidx, gw)
+            )(masks)
         # keep the emitted tokens live in the loop carry as well
         return lifted + (gen_ids.sum() * 1e-12).astype(lifted.dtype)
 
@@ -433,23 +454,40 @@ def main():
             # perturb sam_px too: a loop-invariant sam_px lets XLA hoist
             # the SAM encode out of the fori_loop, which made
             # t_tail < t_sam (negative decode-tail) in round-3 runs
-            masks = ivlm.apply(
-                tp, seg_hidden + acc.astype(dtype) * 1e-6,
-                token_id, sam_px + acc.astype(dtype) * 1e-6, cams,
-                mask_size,
-                method=InteractVLM.masks_from_seg_hidden,
-            )
+            if lift_lowres:
+                masks = ivlm.apply(
+                    tp, seg_hidden + acc.astype(dtype) * 1e-6,
+                    token_id, sam_px + acc.astype(dtype) * 1e-6, cams,
+                    method=InteractVLM.low_res_masks_from_seg_hidden,
+                )
+            else:
+                masks = ivlm.apply(
+                    tp, seg_hidden + acc.astype(dtype) * 1e-6,
+                    token_id, sam_px + acc.astype(dtype) * 1e-6, cams,
+                    mask_size,
+                    method=InteractVLM.masks_from_seg_hidden,
+                )
             return masks.mean()
 
         def lift_leg(acc, masks, gidx, gw):
-            lifted = jax.vmap(
-                lambda m: lift_multiview_soft_gather(m, gidx, gw)
-            )(masks + acc.astype(masks.dtype) * 1e-6)
+            if lift_lowres:
+                lifted = jax.vmap(
+                    lambda m: lift_multiview_soft_gather_lowres(
+                        m, gidx, gw, (mask_size, mask_size)
+                    )
+                )(masks + acc.astype(masks.dtype) * 1e-6)
+            else:
+                lifted = jax.vmap(
+                    lambda m: lift_multiview_soft_gather(m, gidx, gw)
+                )(masks + acc.astype(masks.dtype) * 1e-6)
             return lifted.mean()
 
         seg_hidden_b = jnp.zeros((B, lcfg.hidden_size), dtype)
         token_id_b = jnp.full((B,), seg_idx, jnp.int32)
-        masks_b = jnp.zeros((B, V, mask_size, mask_size), jnp.float32)
+        low_hw = scfg.image_embedding_size * 4
+        leg_mask_size = low_hw if lift_lowres else mask_size
+        masks_b = jnp.zeros((B, V, leg_mask_size, leg_mask_size),
+                            jnp.float32)
         t_gen1 = time_leg(make_gen_leg(1), llava_params, ids, clip_px,
                           attn_mask)
         t_genT = time_leg(make_gen_leg(T), llava_params, ids, clip_px,

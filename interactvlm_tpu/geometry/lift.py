@@ -231,3 +231,64 @@ def lift_multiview_soft_gather(logits, gather_idx, gather_w):
     total = view_vote.sum(0)
     out = jnp.where(count > 0, total / jnp.where(count > 0, count, 1.0), 0.0)
     return jnp.clip(out, 0.0, 1.0)
+
+
+def lift_multiview_soft_gather_lowres(
+    low_logits, gather_idx, gather_w, full_hw
+):
+    """Same result as ``lift_multiview_soft_gather`` applied to bilinearly
+    upsampled ``low_logits`` -- WITHOUT materializing the (V, H, W)
+    full-resolution masks.
+
+    The lift only ever reads the upsampled logits at the fixed gather-map
+    pixel positions, so the bilinear upsample (``jax.image.resize``
+    half-pixel convention, as ``InteractVLM.upsample_masks``) is evaluated
+    pointwise: the 4 low-res corner taps per gathered full-res pixel are
+    derived from ``gather_idx`` with integer ops in-graph (no extra map
+    memory). On TPU this replaces a B*V*H*W f32 materialization + HBM
+    gathers with 4 gathers from an h*w array that fits VMEM.
+
+    low_logits: (V, h, w); gather_idx/w: (V, N, K) from
+    ``build_gather_maps`` at full resolution ``full_hw = (H, W)``.
+    Returns (N,).
+    """
+    V, h, w = low_logits.shape
+    H, W = full_hw
+    # NOTE: clip must come AFTER the bilinear interp to match the full-res
+    # path exactly (sigmoid(clip(upsample(logits)))); clipping the corners
+    # first changes mid-range interpolated values near extreme logits.
+    low = low_logits.astype(jnp.float32).reshape(V, h * w)
+
+    # full-res pixel centre -> continuous low-res coords (half-pixel
+    # convention of jax.image.resize: in = (out + 0.5) / scale - 0.5)
+    y = gather_idx // W
+    x = gather_idx % W
+    ly = (y.astype(jnp.float32) + 0.5) * (h / H) - 0.5
+    lx = (x.astype(jnp.float32) + 0.5) * (w / W) - 0.5
+    y0f = jnp.floor(ly)
+    x0f = jnp.floor(lx)
+    fy = ly - y0f
+    fx = lx - x0f
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+
+    def taps(p, i00, i01, i10, i11):
+        return p[i00], p[i01], p[i10], p[i11]
+
+    v00, v01, v10, v11 = jax.vmap(taps)(
+        low, y0 * w + x0, y0 * w + x1, y1 * w + x0, y1 * w + x1
+    )
+    logit = ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+             + fy * ((1 - fx) * v10 + fx * v11))
+    vals = jax.nn.sigmoid(jnp.clip(logit, -20.0, 20.0))  # (V, N, K)
+
+    votes = (vals * gather_w).sum(-1)
+    wsum = gather_w.sum(-1)
+    seen = wsum > 0
+    view_vote = jnp.where(seen, votes / jnp.where(seen, wsum, 1.0), 0.0)
+    count = seen.sum(0).astype(jnp.float32)
+    total = view_vote.sum(0)
+    out = jnp.where(count > 0, total / jnp.where(count > 0, count, 1.0), 0.0)
+    return jnp.clip(out, 0.0, 1.0)

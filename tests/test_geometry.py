@@ -329,3 +329,59 @@ class TestGatherLift:
             lift_multiview_soft_gather(jnp.asarray(logits), idx, w)
         )
         assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+    def test_lowres_gather_matches_upsample_then_gather(self):
+        """The low-res lift must equal bilinear-upsample (jax.image.resize
+        half-pixel convention, as InteractVLM.upsample_masks) followed by
+        the full-res gather -- pointwise evaluation of the same function."""
+        from interactvlm_tpu.geometry.lift import (
+            build_gather_maps,
+            lift_multiview_soft_gather,
+            lift_multiview_soft_gather_lowres,
+        )
+
+        rng = np.random.default_rng(1)
+        V, H, W, N = 3, 64, 64, 50
+        h = w = 16
+        p2v = rng.integers(-1, N, (V, H, W, 3)).astype(np.int32)
+        bary = rng.dirichlet([1, 1, 1], (V, H, W)).astype(np.float32)
+        low = rng.normal(size=(V, h, w)).astype(np.float32) * 6
+        idx, wg = build_gather_maps(p2v, bary, N)
+
+        full = jax.image.resize(
+            jnp.asarray(low), (V, H, W), method="bilinear"
+        )
+        want = np.asarray(lift_multiview_soft_gather(full, idx, wg))
+        got = np.asarray(
+            lift_multiview_soft_gather_lowres(
+                jnp.asarray(low), idx, wg, (H, W)
+            )
+        )
+        assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+    def test_lowres_gather_non_square_scale(self):
+        """Edge taps clamp exactly like resize's normalized triangle
+        kernel, including at a non-integer scale factor."""
+        from interactvlm_tpu.geometry.lift import (
+            build_gather_maps,
+            lift_multiview_soft_gather,
+            lift_multiview_soft_gather_lowres,
+        )
+
+        rng = np.random.default_rng(2)
+        V, H, W, N = 2, 40, 56, 30
+        h, w = 10, 14
+        p2v = rng.integers(-1, N, (V, H, W, 3)).astype(np.int32)
+        bary = rng.dirichlet([1, 1, 1], (V, H, W)).astype(np.float32)
+        low = rng.normal(size=(V, h, w)).astype(np.float32) * 6
+        idx, wg = build_gather_maps(p2v, bary, N)
+        full = jax.image.resize(
+            jnp.asarray(low), (V, H, W), method="bilinear"
+        )
+        want = np.asarray(lift_multiview_soft_gather(full, idx, wg))
+        got = np.asarray(
+            lift_multiview_soft_gather_lowres(
+                jnp.asarray(low), idx, wg, (H, W)
+            )
+        )
+        assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
