@@ -184,7 +184,17 @@ def main():
     from interactvlm_tpu.models.interactvlm import InteractVLM
     from interactvlm_tpu.models.llava import IMAGE_TOKEN_INDEX, LlavaModel
 
-    on_tpu = jax.default_backend() == "tpu"
+    # the axon tunnel can be down; fall back to the CPU smoke config so the
+    # bench still emits its JSON line instead of dying at backend init
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError as e:
+        import sys
+
+        print(f"[bench] backend init failed ({e}); using CPU",
+              file=sys.stderr, flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        on_tpu = False
     llama_size = os.environ.get("BENCH_LLAMA", "7b" if on_tpu else "tiny")
     sam_size = os.environ.get("BENCH_SAM", "vit_h" if on_tpu else "vit_b_small")
     wq = os.environ.get("BENCH_WQ", "int8" if on_tpu else "bf16")
@@ -211,15 +221,13 @@ def main():
         lcfg = llama_tiny(dtype=dtype, weights_int8=wq == "int8")
     # serving numerics: tanh GELU in the SAM encoder (<=3e-3 activation
     # deviation vs exact erf, ~10% of encode wall time on the v5e VPU).
-    # BENCH_SAM_WQ=int8 (the default) runs the encoder matmuls int8 x int8
-    # through the fused Pallas quantize+matmul kernel (measured 1.33-1.64x
-    # the bf16 MLP pair; activation error bound tested in
-    # tests/test_quant.py). The reference's bnb mode skips vision towers --
-    # quantizing the encoder is a deliberate, documented deviation
-    # (BENCH_SAM_WQ=bf16 restores reference numerics).
+    # BENCH_SAM_WQ=int8 runs the encoder matmuls int8 x int8 through the
+    # fused Pallas quantize+matmul kernel (measured 1.33-1.64x the bf16 MLP
+    # pair). The reference's bnb mode skips vision towers -- quantizing the
+    # encoder is a deliberate, documented deviation. Still opt-in: flip the
+    # default once an e2e bench run on the real chip validates the fused
+    # path at serving shapes.
     gelu_approx = os.environ.get("BENCH_GELU", "tanh") == "tanh" and on_tpu
-    # TODO(default-flip): make int8 the default once an e2e bench run on
-    # the real chip validates the fused path at serving shapes
     sam_int8 = os.environ.get("BENCH_SAM_WQ", "bf16") == "int8" and on_tpu
     if sam_size == "vit_h":
         scfg = sam_vit_h(dtype=dtype, gelu_approx=gelu_approx,

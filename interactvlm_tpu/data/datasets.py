@@ -66,11 +66,15 @@ def build_conversation(
 
 
 class TemplateFixedRandom(random.Random):
-    """Degenerate dataset rng: always the FIRST question/answer template,
-    no template-level coin flips; sample/index selection stays random
-    (inherited). Used by the closed-loop learning tests, where template
-    variety only slows the tiny model's convergence without exercising
-    any additional plumbing."""
+    """Degenerate dataset rng: always the FIRST option from any
+    ``choice``/``sample`` call and no coin flips (``random()`` ~ 1, so
+    ``rng.random() < p`` dropouts never fire). Used by the closed-loop
+    learning tests on the CONTACT datasets, whose per-sample content is
+    index-determined -- there the collapsed calls only pin the
+    question/answer templates. NOT suitable for refer/sem/vqa mixtures,
+    where ``choice``/``sample`` also select content (sentences, classes,
+    annotations) and would collapse training diversity; ``train.py``
+    rejects that combination."""
 
     def choice(self, seq):
         return seq[0]
@@ -79,7 +83,10 @@ class TemplateFixedRandom(random.Random):
         return list(seq[:k])
 
     def random(self):
-        return 1.0
+        # largest float < 1.0: respects the [0, 1) contract (inherited
+        # helpers like choices() compute floor(random() * n)) while still
+        # never firing `random() < p` dropouts for any p <= 1 - 2^-53
+        return 1.0 - 2.0 ** -53
 
 
 class BaseContactDataset:
@@ -1331,3 +1338,61 @@ DATASET_REGISTRY.update(
     {"reason_seg": ReasonSegDataset, "sem_seg": SemSegDataset,
      "sem_seg_lisa": SemSegLISADataset}
 )
+
+
+# datasets whose choice()/sample() calls only ever pick QUESTION/ANSWER
+# templates (per-sample content is index-determined), so TemplateFixedRandom
+# is safe; refer/sem/reason/vqa/object sets also select content with the rng
+FIXED_TEMPLATE_SAFE = frozenset({"hcontact", "hcontact_scene", "h2dcontact"})
+
+
+def build_dataset(name: str, base_dir: str, split: str, args):
+    """One construction path for train, train-time validation, and the eval
+    CLI. ``args`` is any namespace carrying the training hyper-parameters
+    (train ``parse_args`` output or the re-hydrated ``pretrained_config``).
+
+    Centralizing this keeps the three drivers' prompt families, view types
+    and vertex counts identical by construction (the reference re-derives
+    them from one restored config for the same reason,
+    ``utils/eval_utils.py:215-244``); divergent per-driver copies previously
+    scored hcontact_scene with the wrong prompt family and dropped the
+    hcontact view_type from the eval CLI."""
+    ctor = DATASET_REGISTRY[name]
+    kw = dict(
+        image_size=args.image_size, clip_size=args.clip_size, split=split
+    )
+    if name in ("hcontact", "hcontact_scene"):
+        nv = getattr(args, "num_human_vertices", None)
+        if nv:
+            kw["num_vertices"] = nv
+    if name == "hcontact":
+        # scene keeps its own defaults (question_type='simple',
+        # hcontactScene_3d.py:53); the hC_* flags configure DAMON/LEMON
+        vt = getattr(args, "hC_sam_view_type", None)
+        if vt:
+            kw["view_type"] = vt
+        qt = getattr(args, "hC_question_type", None)
+        if qt:
+            kw["question_type"] = qt
+    elif name == "oafford":
+        vt = getattr(args, "oC_sam_view_type", None)
+        if vt:
+            kw["view_type"] = vt
+        qt = getattr(args, "oC_question_type", None)
+        if qt:
+            kw["question_type"] = qt
+    if getattr(args, "num_conversations", 1) > 1 and name in (
+        "sem_seg", "sem_seg_lisa", "refer_seg", "refer_seg_lisa"
+    ):
+        kw["num_classes_per_sample"] = args.num_conversations
+    ds = ctor(base_dir, **kw)
+    if getattr(args, "fixed_templates", False):
+        if name not in FIXED_TEMPLATE_SAFE:
+            raise ValueError(
+                f"--fixed_templates collapses content sampling for "
+                f"'{name}' (it picks sentences/classes/annotations with "
+                f"the same rng); only {sorted(FIXED_TEMPLATE_SAFE)} "
+                f"are supported"
+            )
+        ds.rng = TemplateFixedRandom(42)
+    return ds

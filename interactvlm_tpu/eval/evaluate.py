@@ -554,7 +554,7 @@ def main(argv=None):
         mask_size = train_args.mask_size
     else:
         from interactvlm_tpu.data.collate import collate
-        from interactvlm_tpu.data.datasets import DATASET_REGISTRY, ValDataset
+        from interactvlm_tpu.data.datasets import ValDataset
 
         from interactvlm_tpu.utils.constants import add_new_tokens
 
@@ -569,26 +569,14 @@ def main(argv=None):
             tokenizer = AutoTokenizer.from_pretrained(cfg_json["version"])
             tokenizer.pad_token = tokenizer.unk_token
         tokenizer, *_ = add_new_tokens(tokenizer, train_args.token_type)
-        ds_kw = dict(image_size=train_args.image_size,
-                     clip_size=train_args.clip_size)
-        if "hcontact" in args.val_dataset and "h2d" not in args.val_dataset:
-            ds_kw["num_vertices"] = cfg.num_human_vertices
-            # score with the SAME prompt family training saw
-            ds_kw["question_type"] = getattr(
-                train_args, "hC_question_type", "parts"
-            )
-        elif args.val_dataset == "oafford":
-            ds_kw["question_type"] = getattr(
-                train_args, "oC_question_type", "simple"
-            )
-        inner = DATASET_REGISTRY[args.val_dataset](
-            args.dataset_dir, split="test", **ds_kw
-        )
-        if getattr(train_args, "fixed_templates", False):
-            from interactvlm_tpu.data.datasets import TemplateFixedRandom
+        from interactvlm_tpu.data.datasets import build_dataset
 
-            inner.rng = TemplateFixedRandom(42)
-        ds = ValDataset(inner)
+        # one construction path with train/validate: prompts, view types
+        # and vertex counts come from the re-hydrated training config
+        ds = ValDataset(
+            build_dataset(args.val_dataset, args.dataset_dir, "test",
+                          train_args)
+        )
         mask_size = (
             train_args.image_size
             if train_args.image_size != 1024

@@ -81,7 +81,9 @@ def parse_args(argv=None):
                    help="always use the FIRST question/answer template "
                         "(sample order stays random) -- for offline "
                         "closed-loop tests where template variety only "
-                        "slows the tiny model's convergence")
+                        "slows the tiny model's convergence. Contact "
+                        "datasets only (other sets pick CONTENT with the "
+                        "same rng; build_dataset rejects them)")
     # parallelism
     p.add_argument("--n_model_shards", type=int, default=1)
     # runtime
@@ -204,37 +206,19 @@ def _load_human_maps(dataset_dir):
 def real_batch_iter(args, cfg, tokenizer):
     """Hybrid-dataset loader with a background prefetch thread."""
     from interactvlm_tpu.data.collate import collate
-    from interactvlm_tpu.data.datasets import (
-        DATASET_REGISTRY,
-        HybridDataset,
-    )
+    from interactvlm_tpu.data.datasets import HybridDataset
     from interactvlm_tpu.runtime.prefetch import PrefetchIterator
+
+    from interactvlm_tpu.data.datasets import build_dataset
 
     names = args.dataset.split("||")
     rates = [float(r) for r in args.sample_rates.split(",")]
     if len(rates) != len(names):
         rates = [1.0] * len(names)
-    datasets = []
-    for name in names:
-        ctor = DATASET_REGISTRY[name]
-        kw = dict(image_size=args.image_size, clip_size=args.clip_size)
-        if name == "hcontact":
-            kw.update(view_type=args.hC_sam_view_type,
-                      question_type=args.hC_question_type,
-                      num_vertices=args.num_human_vertices)
-        elif name == "oafford":
-            kw.update(view_type=args.oC_sam_view_type,
-                      question_type=args.oC_question_type)
-        if getattr(args, "num_conversations", 1) > 1 and name in (
-            "sem_seg", "sem_seg_lisa", "refer_seg", "refer_seg_lisa"
-        ):
-            kw["num_classes_per_sample"] = args.num_conversations
-        ds = ctor(args.dataset_dir, **kw)
-        if getattr(args, "fixed_templates", False):
-            from interactvlm_tpu.data.datasets import TemplateFixedRandom
-
-            ds.rng = TemplateFixedRandom(42)
-        datasets.append(ds)
+    datasets = [
+        build_dataset(name, args.dataset_dir, "train", args)
+        for name in names
+    ]
     hybrid = HybridDataset(
         datasets, rates,
         samples_per_epoch=args.batch_size
@@ -318,23 +302,12 @@ def make_validator(args, cfg, model, tokenizer, example, mesh=None):
         ds_name = "hcontact"
     else:
         from interactvlm_tpu.data.collate import collate
-        from interactvlm_tpu.data.datasets import DATASET_REGISTRY, ValDataset
+        from interactvlm_tpu.data.datasets import ValDataset, build_dataset
 
         name = args.dataset.split("||")[0]
-        ds_kw = dict(image_size=args.image_size, clip_size=args.clip_size)
-        if name == "hcontact":
-            ds_kw["view_type"] = args.hC_sam_view_type
-            ds_kw["num_vertices"] = args.num_human_vertices
-            # validate with the SAME prompt family training saw
-            ds_kw["question_type"] = args.hC_question_type
-        elif name == "oafford":
-            ds_kw["question_type"] = args.oC_question_type
-        inner = DATASET_REGISTRY[name](args.dataset_dir, split="val", **ds_kw)
-        if getattr(args, "fixed_templates", False):
-            from interactvlm_tpu.data.datasets import TemplateFixedRandom
-
-            inner.rng = TemplateFixedRandom(42)
-        ds = ValDataset(inner)
+        # same construction path as training + the eval CLI, so the val
+        # prompts/views match what training saw by construction
+        ds = ValDataset(build_dataset(name, args.dataset_dir, "val", args))
         mask_size = (
             args.image_size
             if args.image_size != 1024

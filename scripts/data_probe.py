@@ -123,6 +123,9 @@ def main():
             samples = [next(it) for _ in range(B)]
             collate(samples, tok, max_len=512)
         dt = (time.perf_counter() - t0) / n_batches
+        # drain the pool: abandoned lookahead futures would otherwise keep
+        # decoding into the NEXT config's timed loop
+        sampler.pool.shutdown(wait=True, cancel_futures=True)
         print(f"[data] workers={workers}: {dt:.2f} s/batch "
               f"(B={B}, V=4, {size}px) "
               f"-> {dt / 3.5 * 100:.0f}% of a 3.5s TPU step", flush=True)

@@ -369,7 +369,7 @@ class TestGatherLift:
         )
 
         rng = np.random.default_rng(2)
-        V, H, W, N = 2, 40, 56, 30
+        V, H, W, N = 2, 48, 40, 30  # scales 4.8 and ~2.857: non-integer
         h, w = 10, 14
         p2v = rng.integers(-1, N, (V, H, W, 3)).astype(np.int32)
         bary = rng.dirichlet([1, 1, 1], (V, H, W)).astype(np.float32)

@@ -178,3 +178,30 @@ class TestDifDeTraining:
         # and training's hcontact rows must match the domain decode
         m_train = np.asarray(out["pred_masks"])
         assert m_train.shape == np.asarray(m_h).shape
+
+    def test_training_rows_route_to_their_domain_decoder(self):
+        """Perturbing the OBJECT decoder must not change an all-hcontact
+        batch's training predictions; perturbing the HUMAN decoder must.
+        (Shape checks alone would pass with sel_h/sel_o swapped.)"""
+        import numpy as np
+
+        cfg = interactvlm_tiny(token_type="Gen-DifDe")
+        model = InteractVLM(cfg)
+        batch = make_batch(cfg, B=2, tasks=(TASK_HCONTACT, TASK_HCONTACT))
+        params = model.init(jax.random.PRNGKey(0), batch)
+        base = np.asarray(model.apply(params, batch)["pred_masks"])
+
+        def perturbed(decoder_name):
+            sam = dict(params["params"]["sam"])
+            sam[decoder_name] = jax.tree.map(
+                lambda x: x + 1.0, sam[decoder_name]
+            )
+            p = {**params, "params": {**params["params"], "sam": sam}}
+            return np.asarray(model.apply(p, batch)["pred_masks"])
+
+        assert np.allclose(perturbed("object_mask_decoder"), base), (
+            "object decoder leaked into hcontact rows"
+        )
+        assert not np.allclose(perturbed("human_mask_decoder"), base), (
+            "human decoder is not the one hcontact rows train"
+        )
