@@ -661,3 +661,95 @@ def test_semseg_lisa_all_ignore_fallback(tmp_path):
                            clip_size=32, rng=_random.Random(0))
     with pytest.raises(ValueError):
         d2[0]
+
+
+class TestBuildDataset:
+    """build_dataset: one construction path for train/validate/eval-CLI
+    (the per-driver copies previously scored hcontact_scene with
+    hcontact's prompt family and dropped view_type from the eval CLI)."""
+
+    @pytest.fixture()
+    def recorded(self, monkeypatch):
+        from interactvlm_tpu.data import datasets as D
+
+        calls = {}
+
+        def make(name):
+            class Dummy:
+                def __init__(self, base_dir, **kw):
+                    calls[name] = kw
+                    self.rng = None
+
+            return Dummy
+
+        monkeypatch.setattr(
+            D, "DATASET_REGISTRY",
+            {n: make(n) for n in D.DATASET_REGISTRY},
+        )
+        return calls
+
+    def _args(self, **kw):
+        import argparse
+
+        base = dict(image_size=64, clip_size=28,
+                    hC_sam_view_type="4MV-Z_Vitru_mv2",
+                    hC_question_type="parts",
+                    oC_sam_view_type="4MV-Z_HM",
+                    oC_question_type="simple",
+                    num_human_vertices=178,
+                    num_conversations=1, fixed_templates=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    def test_hcontact_gets_prompt_and_view_kwargs(self, recorded):
+        from interactvlm_tpu.data.datasets import build_dataset
+
+        build_dataset("hcontact", "/d", "val", self._args())
+        kw = recorded["hcontact"]
+        assert kw["question_type"] == "parts"
+        assert kw["view_type"] == "4MV-Z_Vitru_mv2"
+        assert kw["num_vertices"] == 178
+        assert kw["split"] == "val"
+
+    def test_scene_keeps_its_own_prompt_default(self, recorded):
+        """hC_question_type must NOT leak into hcontact_scene (its ctor
+        defaults to 'simple', reference hcontactScene_3d.py:53)."""
+        from interactvlm_tpu.data.datasets import build_dataset
+
+        build_dataset("hcontact_scene", "/d", "test",
+                      self._args(hC_question_type="parts"))
+        kw = recorded["hcontact_scene"]
+        assert "question_type" not in kw
+        assert "view_type" not in kw
+        assert kw["num_vertices"] == 178  # vertex count still flows
+
+    def test_fixed_templates_rejected_for_content_sampling_sets(
+        self, recorded
+    ):
+        from interactvlm_tpu.data.datasets import build_dataset
+
+        with pytest.raises(ValueError, match="collapses content"):
+            build_dataset("refer_seg", "/d", "train",
+                          self._args(fixed_templates=True))
+
+    def test_fixed_templates_sets_rng_for_contact_sets(self, recorded):
+        from interactvlm_tpu.data.datasets import (
+            TemplateFixedRandom,
+            build_dataset,
+        )
+
+        ds = build_dataset("hcontact", "/d", "train",
+                           self._args(fixed_templates=True))
+        assert isinstance(ds.rng, TemplateFixedRandom)
+        # the rng honors [0, 1) and never fires `random() < p` dropouts
+        assert 0.0 <= ds.rng.random() < 1.0
+        assert not (ds.rng.random() < 0.9)
+
+    def test_multiconv_kw_only_for_lisa_style_sets(self, recorded):
+        from interactvlm_tpu.data.datasets import build_dataset
+
+        a = self._args(num_conversations=3)
+        build_dataset("sem_seg", "/d", "train", a)
+        build_dataset("hcontact", "/d", "train", a)
+        assert recorded["sem_seg"]["num_classes_per_sample"] == 3
+        assert "num_classes_per_sample" not in recorded["hcontact"]
