@@ -591,9 +591,9 @@ def main(argv=None):
             }
 
         def batches():
-            for i in range(0, len(ds), args.batch_size):
-                samples = [ds[j] for j in
-                           range(i, min(i + args.batch_size, len(ds)))]
+            from interactvlm_tpu.runtime.prefetch import iter_sample_batches
+
+            for samples in iter_sample_batches(ds, args.batch_size):
                 yield collate(samples, tokenizer,
                               max_len=train_args.model_max_length,
                               num_human_vertices=cfg.num_human_vertices,

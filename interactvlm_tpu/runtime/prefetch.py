@@ -49,6 +49,31 @@ class PrefetchIterator:
         return item
 
 
+def iter_sample_batches(ds, batch_size: int, limit: int = None,
+                        num_workers: int = 8):
+    """Yield lists of ``ds[j]`` of size <= batch_size over [0, limit) with a
+    thread pool (the eval-side analogue of DataLoader workers; the heavy
+    per-sample PNG decode releases the GIL). Order-preserving; drains the
+    pool on exit so abandoned lookahead work cannot leak."""
+    n = len(ds) if limit is None else min(len(ds), limit)
+    sampler = ParallelSampler(
+        lambda j: ds[j], num_workers=num_workers,
+        lookahead=max(2 * batch_size, num_workers),
+    )
+    it = sampler.iterate(range(n))
+    try:
+        batch = []
+        for s in it:
+            batch.append(s)
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+    finally:
+        sampler.pool.shutdown(wait=False, cancel_futures=True)
+
+
 class ParallelSampler:
     """Evaluate ``fn(i)`` for a stream of indices with a thread pool,
     preserving order; the dataset-side analogue of DataLoader workers."""

@@ -321,10 +321,13 @@ def make_validator(args, cfg, model, tokenizer, example, mesh=None):
             }
 
         def batches():
-            for i in range(0, min(len(ds), args.val_batches * args.batch_size),
-                           args.batch_size):
-                samples = [ds[j] for j in
-                           range(i, min(i + args.batch_size, len(ds)))]
+            from interactvlm_tpu.runtime.prefetch import iter_sample_batches
+
+            for samples in iter_sample_batches(
+                ds, args.batch_size,
+                limit=args.val_batches * args.batch_size,
+                num_workers=getattr(args, "data_workers", 8),
+            ):
                 yield collate(samples, tokenizer,
                               max_len=args.model_max_length,
                               multiview_channels=args.multiview_channels,
