@@ -134,8 +134,35 @@ def evaluate_batch(
             pred_masks, human_maps["p2v"], human_maps["bary"],
             int(human_maps.get("num_vertices", cfg.num_human_vertices)),
         )
+    elif "oafford" in contact_type and "obj_p2p" in batch:
+        # PER-SAMPLE pixel->point maps ride the batch (reference loads
+        # p2pmap npz per sample, components.py:309,318-347); the lift
+        # averages sigmoid heatmap values per point per visible view
+        import jax
+
+        from interactvlm_tpu.geometry.lift import lift_multiview_points
+
+        probs = jax.nn.sigmoid(pred_masks)
+        pred_contact_3d = jax.vmap(
+            lambda m, p: lift_multiview_points(
+                m, p, cfg.num_object_points
+            )
+        )(probs, batch["obj_p2p"])
+    elif "ocontact" in contact_type and "obj_p2v" in batch:
+        # per-sample mesh lift maps, thresholded at 0.3
+        # (reference components.py:350-489, run_demo.py:493)
+        import jax
+
+        from interactvlm_tpu.geometry.lift import (
+            lift_multiview_thresholded,
+        )
+
+        n_out = batch["gt_ocontact"].shape[1]
+        pred_contact_3d = jax.vmap(
+            lambda m, p, b: lift_multiview_thresholded(m, p, b, n_out)
+        )(pred_masks, batch["obj_p2v"], batch["obj_bary"])
     elif object_maps is not None:
-        # inference always lifts onto the object mesh
+        # demo path: one shared lift2d dict for the object
         # (reference InteractVLM.py:624-628)
         pred_contact_3d = lift_object(
             pred_masks, object_maps["p2v"], object_maps["bary"],
@@ -270,6 +297,33 @@ def validate(
                     jnp.asarray(pred_masks), human_maps["p2v"],
                     human_maps["bary"], cfg.num_human_vertices,
                 ))
+            elif is_oa and "obj_p2p" in batch:
+                import jax
+
+                from interactvlm_tpu.geometry.lift import (
+                    lift_multiview_points,
+                )
+
+                pred_3d = np.asarray(jax.vmap(
+                    lambda m, p: lift_multiview_points(
+                        m, p, cfg.num_object_points
+                    )
+                )(jax.nn.sigmoid(jnp.asarray(pred_masks)),
+                  batch["obj_p2p"]))
+            elif is_oc and "obj_p2v" in batch:
+                import jax
+
+                from interactvlm_tpu.geometry.lift import (
+                    lift_multiview_thresholded,
+                )
+
+                n_out = np.asarray(batch["gt_ocontact"]).shape[1]
+                pred_3d = np.asarray(jax.vmap(
+                    lambda m, p, b: lift_multiview_thresholded(
+                        m, p, b, n_out
+                    )
+                )(jnp.asarray(pred_masks), batch["obj_p2v"],
+                  batch["obj_bary"]))
 
         gt_masks = np.asarray(batch["gt_masks"])
         for b in range(pred_masks.shape[0]):
@@ -597,7 +651,9 @@ def main(argv=None):
                 yield collate(samples, tokenizer,
                               max_len=train_args.model_max_length,
                               num_human_vertices=cfg.num_human_vertices,
-                              human_maps=human_maps)
+                              human_maps=human_maps,
+                              include_object_maps=args.val_dataset in
+                              ("oafford", "ocontact"))
 
     dist_matrix = None
     if args.geodesic_npy:

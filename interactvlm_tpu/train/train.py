@@ -332,7 +332,9 @@ def make_validator(args, cfg, model, tokenizer, example, mesh=None):
                               max_len=args.model_max_length,
                               multiview_channels=args.multiview_channels,
                               num_human_vertices=cfg.num_human_vertices,
-                              human_maps=human_maps)
+                              human_maps=human_maps,
+                              include_object_maps=name in
+                              ("oafford", "ocontact"))
 
     def val_fn(params):
         # distributed eval: shard every batch over the mesh's data axis

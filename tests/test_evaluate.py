@@ -250,3 +250,46 @@ def test_ocontact_without_gt_warns_not_wrong(tiny):
             inference_type="forward",
         )
     assert any("gt_ocontact" in str(x.message) for x in w)
+
+
+def test_generate_mode_oafford_lifts_per_sample_maps(tiny):
+    """Generate-mode eval must lift affordance predictions through the
+    PER-SAMPLE pixel->point maps riding the batch (reference loads p2pmap
+    npz per sample, components.py:309,318-347). Previously only the demo's
+    shared object_maps path lifted, so the eval CLI reported no SIM/AUC."""
+    cfg, model, params = tiny
+    batch = make_batch(cfg, tasks=(3, 3))  # all oafford
+    assert "obj_p2p" in batch, "synthetic oafford batch must carry p2p maps"
+    meta = {
+        "image_paths": ["a.jpg", "b.jpg"],
+        "sampled_classes_list": [["mug"], ["bag"]],
+    }
+    results, _ = validate(
+        [(batch, meta)], model, params, cfg, "oafford", MASK,
+    )
+    for k in ("sim", "mae", "auc", "aiou"):
+        assert k in results and np.isfinite(results[k]), (k, results)
+    # the lift actually produced probabilities, not an all-zero fallback
+    out = evaluate_batch(model, params, batch, cfg, MASK,
+                         contact_type="oafford")
+    p3 = out["pred_contact_3d"]
+    assert p3 is not None and p3.shape == (2, cfg.num_object_points)
+    has = np.asarray(out["has_seg"])
+    if has.any():
+        assert np.asarray(p3)[has].max() > 0
+
+
+def test_generate_mode_ocontact_lifts_per_sample_maps(tiny):
+    cfg, model, params = tiny
+    batch = make_batch(cfg, tasks=(4, 4))  # all ocontact
+    if "obj_p2v" not in batch:
+        pytest.skip("synthetic batch lacks mesh maps")
+    meta = {
+        "image_paths": ["a.jpg", "b.jpg"],
+        "sampled_classes_list": [["box"], ["box"]],
+    }
+    results, _ = validate(
+        [(batch, meta)], model, params, cfg, "ocontact", MASK,
+    )
+    for k in ("f1", "precision", "recall"):
+        assert k in results and np.isfinite(results[k]), (k, results)
