@@ -1341,9 +1341,14 @@ DATASET_REGISTRY.update(
 
 
 # datasets whose choice()/sample() calls only ever pick QUESTION/ANSWER
-# templates (per-sample content is index-determined), so TemplateFixedRandom
-# is safe; refer/sem/reason/vqa/object sets also select content with the rng
-FIXED_TEMPLATE_SAFE = frozenset({"hcontact", "hcontact_scene", "h2dcontact"})
+# templates, so TemplateFixedRandom is safe. oafford/ocontact qualify: their
+# content randomness is randrange (missing-file retry) and shuffle (ranked
+# object matches), neither of which TemplateFixedRandom overrides.
+# refer/sem/reason/vqa pick sentences/classes/annotations with choice/sample
+# and would collapse.
+FIXED_TEMPLATE_SAFE = frozenset({
+    "hcontact", "hcontact_scene", "h2dcontact", "oafford", "ocontact",
+})
 
 
 def build_dataset(name: str, base_dir: str, split: str, args):
@@ -1381,6 +1386,9 @@ def build_dataset(name: str, base_dir: str, split: str, args):
         qt = getattr(args, "oC_question_type", None)
         if qt:
             kw["question_type"] = qt
+        np_ = getattr(args, "num_object_points", None)
+        if np_:
+            kw["num_points"] = np_
     if getattr(args, "num_conversations", 1) > 1 and name in (
         "sem_seg", "sem_seg_lisa", "refer_seg", "refer_seg_lisa"
     ):

@@ -651,6 +651,7 @@ def main(argv=None):
                 yield collate(samples, tokenizer,
                               max_len=train_args.model_max_length,
                               num_human_vertices=cfg.num_human_vertices,
+                              num_object_points=cfg.num_object_points,
                               human_maps=human_maps,
                               include_object_maps=args.val_dataset in
                               ("oafford", "ocontact"))

@@ -40,6 +40,9 @@ def parse_args(argv=None):
                    help="SAM view render size fed to the datasets")
     p.add_argument("--clip_size", type=int, default=224)
     p.add_argument("--num_human_vertices", type=int, default=6890)
+    p.add_argument("--num_object_points", type=int, default=2048,
+                   help="point-cloud size for oafford gt/lift (reference "
+                        "2048-point clouds, ocontact_3d.py)")
     p.add_argument("--num_conversations", type=int, default=1,
                    help="conversations per image row block (reference "
                         "num_classes_per_sample, dataset.py:196)")
@@ -134,6 +137,7 @@ def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
             oC_sam_view_type=args.oC_sam_view_type,
             multiview_channels=args.multiview_channels,
             num_human_vertices=args.num_human_vertices,
+            num_object_points=getattr(args, "num_object_points", 2048),
             ce_loss_weight=args.ce_loss_weight,
             bce_loss_weight=args.bce_loss_weight,
             bce_loss_alpha=args.bce_loss_alpha,
@@ -157,6 +161,7 @@ def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
             llama=cfgs.llama_13b(**llama_kw),
             **tok_kw,
             num_human_vertices=args.num_human_vertices,
+            num_object_points=getattr(args, "num_object_points", 2048),
             token_type=args.token_type,
             hC_sam_view_type=args.hC_sam_view_type,
             oC_sam_view_type=args.oC_sam_view_type,
@@ -264,6 +269,7 @@ def real_batch_iter(args, cfg, tokenizer):
                 include_object_maps=include_object_maps,
                 human_maps=human_maps,
                 num_human_vertices=cfg.num_human_vertices,
+                num_object_points=cfg.num_object_points,
                 num_conversations=getattr(args, "num_conversations", 1),
             )
             yield batch
@@ -332,6 +338,7 @@ def make_validator(args, cfg, model, tokenizer, example, mesh=None):
                               max_len=args.model_max_length,
                               multiview_channels=args.multiview_channels,
                               num_human_vertices=cfg.num_human_vertices,
+                              num_object_points=cfg.num_object_points,
                               human_maps=human_maps,
                               include_object_maps=name in
                               ("oafford", "ocontact"))

@@ -107,3 +107,103 @@ def test_full_pipeline_learns_contact(tmp_path):
     # a learned class->mask mapping lifts F1 far above the untrained
     # decoder's (which predicts a class-independent mean mask)
     assert f1_trained > f1_base + 0.2, (f1_base, f1_trained)
+
+
+def _piad_txt(path, cls, pts, sit_mask):
+    from interactvlm_tpu.datagen.recipes import AFFORD_LIST_PIAD
+
+    sit_col = int(np.argwhere(AFFORD_LIST_PIAD == "sit").item())
+    lines = []
+    for i, (p, a) in enumerate(zip(pts, sit_mask)):
+        aff = ["0"] * 17
+        aff[sit_col] = str(int(a))
+        lines.append(
+            f"{i} {cls} " + " ".join(f"{v:.4f}" for v in p) + " "
+            + " ".join(aff)
+        )
+    path.write_text("\n".join(lines))
+
+
+def _make_piad_tree(tmp_path, root):
+    from interactvlm_tpu.datagen.recipes import generate_piad_tree
+    from interactvlm_tpu.geometry.views import OBJECT_VIEWS
+
+    rng = np.random.default_rng(0)
+    # chair: cube-ish cloud, 'sit' on the TOP third; ball: sphere surface,
+    # 'sit' on the BOTTOM third -- distinct shapes AND distinct patterns,
+    # so the per-sample renders alone carry the class
+    cube = rng.uniform(-0.7, 0.7, (300, 3))
+    sit_cube = (cube[:, 1] > 0.25).astype(int)
+    theta = rng.uniform(0, np.pi, 300)
+    phi = rng.uniform(0, 2 * np.pi, 300)
+    sphere = np.stack([
+        0.7 * np.sin(theta) * np.cos(phi),
+        0.7 * np.cos(theta),
+        0.7 * np.sin(theta) * np.sin(phi),
+    ], axis=1)
+    sit_sphere = (sphere[:, 1] < -0.25).astype(int)
+
+    files = {}
+    for oid, cls, pts, sit in (
+        ("chair_001", "Chair", cube, sit_cube),
+        ("ball_001", "Ball", sphere, sit_sphere),
+    ):
+        txt = tmp_path / f"{oid}.txt"
+        _piad_txt(txt, cls, pts, sit)
+        files[oid] = str(txt)
+        put_image(root, f"{oid}.jpg")
+    for split in ("train", "val", "test"):
+        generate_piad_tree(
+            root, files, OBJECT_VIEWS["4MV-Z_HM"], S, split=split,
+            image_for={oid: f"{oid}.jpg" for oid in files},
+            object_matches={oid: [oid] for oid in files},
+            affordance="sit",
+        )
+
+
+def _run_oafford(root, run_root, exp, epochs, steps, lr):
+    from interactvlm_tpu.train.train import main as train_main
+
+    return train_main([
+        "--tokenizer", "whitespace", "--model_scale", "tiny",
+        "--dataset", "oafford", "--dataset_dir", root,
+        "--oC_question_type", "simple", "--fixed_templates",
+        "--image_size", str(S), "--clip_size", "28",
+        "--num_object_points", "300",
+        "--model_max_length", "384",
+        "--epochs", str(epochs), "--steps_per_epoch", str(steps),
+        "--batch_size", "8", "--lr", str(lr), "--warmup_steps", "10",
+        "--log_base_dir", run_root, "--exp_name", exp,
+        "--val_batches", "1", "--val_every", "4", "--data_workers", "2",
+        "--no_tensorboard",
+    ])
+
+
+@pytest.mark.slow
+def test_full_pipeline_learns_affordance(tmp_path):
+    """Object-affordance closed loop (the oafford analogue of the hcontact
+    loop above): PIAD-style datagen tree -> real dataset/collate (per-sample
+    renders + p2p maps) -> train -> generate-mode eval CLI; trained AUC must
+    beat the untrained baseline. Unlike hcontact, each class has its own
+    renders, so the decoder can separate classes from the image alone."""
+    root = str(tmp_path / "data")
+    _make_piad_tree(tmp_path, root)
+
+    runs = str(tmp_path / "runs")
+    _run_oafford(root, runs, "base", epochs=1, steps=1, lr=0.0)
+    _run_oafford(root, runs, "trained", epochs=8, steps=40, lr=1e-2)
+
+    from interactvlm_tpu.eval.evaluate import main as eval_main
+
+    def auc_of(run):
+        report = eval_main([
+            "--run_dir", f"{runs}/{run}", "--dataset_dir", root,
+            "--val_dataset", "oafford", "--batch_size", "4",
+            "--max_batches", "2",
+        ])
+        return report["metrics"]["auc"]
+
+    auc_base = auc_of("base")
+    auc_trained = auc_of("trained")
+    assert auc_trained > auc_base + 0.1, (auc_base, auc_trained)
+    assert auc_trained > 0.6, auc_trained
