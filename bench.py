@@ -176,7 +176,6 @@ def main():
     from interactvlm_tpu.geometry.lift import (
         build_gather_maps,
         lift_multiview_soft_gather,
-        lift_multiview_soft_gather_lowres,
     )
     from interactvlm_tpu.geometry.rasterizer import build_lift_maps, pick_window
     from interactvlm_tpu.geometry.views import HUMAN_VIEWS
@@ -221,14 +220,16 @@ def main():
         lcfg = llama_tiny(dtype=dtype, weights_int8=wq == "int8")
     # serving numerics: tanh GELU in the SAM encoder (<=3e-3 activation
     # deviation vs exact erf, ~10% of encode wall time on the v5e VPU).
-    # BENCH_SAM_WQ=int8 runs the encoder matmuls int8 x int8 through the
-    # fused Pallas quantize+matmul kernel (measured 1.33-1.64x the bf16 MLP
-    # pair). The reference's bnb mode skips vision towers -- quantizing the
-    # encoder is a deliberate, documented deviation. Still opt-in: flip the
-    # default once an e2e bench run on the real chip validates the fused
-    # path at serving shapes.
+    # The encoder matmuls default to int8 x int8 through the fused Pallas
+    # quantize+matmul kernel (measured 1.33-1.64x the bf16 MLP pair at
+    # matmul level; full ViT-H encode 749 -> 647 ms per 8 views on the
+    # chip, scripts/sam_probe.py full int8). The reference's bnb mode
+    # skips vision towers -- quantizing the encoder is a deliberate,
+    # documented deviation with a tested activation-error bound
+    # (tests/test_sam.py::test_int8_encoder_serving_parity).
+    # BENCH_SAM_WQ=bf16 restores dense encoder weights.
     gelu_approx = os.environ.get("BENCH_GELU", "tanh") == "tanh" and on_tpu
-    sam_int8 = os.environ.get("BENCH_SAM_WQ", "bf16") == "int8" and on_tpu
+    sam_int8 = os.environ.get("BENCH_SAM_WQ", "int8") == "int8" and on_tpu
     if sam_size == "vit_h":
         scfg = sam_vit_h(dtype=dtype, gelu_approx=gelu_approx,
                          weights_int8=sam_int8)
@@ -362,11 +363,19 @@ def main():
                 tail_params, seg_hidden, token_id, sam_px, cams,
                 method=InteractVLM.low_res_masks_from_seg_hidden,
             )
+            # bilinear resize to full res, then ONE full-res gather per
+            # view: measured 91 ms vs 317 ms for the pointwise low-res
+            # 4-tap gather (and 1843 ms for its batch-major form) at
+            # B=8 -- scripts/lift_probe.py. The 4-tap form also OOM'd
+            # inside the e2e jit (each tap's (V*N*K, B) gather pads
+            # 16x in (8,128) tiles -> 9.2 GiB of temps).
+            full = jax.image.resize(
+                low, (*low.shape[:2], mask_size, mask_size),
+                method="bilinear",
+            )
             lifted = jax.vmap(
-                lambda m: lift_multiview_soft_gather_lowres(
-                    m, gidx, gw, (mask_size, mask_size)
-                )
-            )(low)
+                lambda m: lift_multiview_soft_gather(m, gidx, gw)
+            )(full)
         else:
             masks = ivlm.apply(
                 tail_params, seg_hidden, token_id, sam_px, cams, mask_size,
@@ -479,11 +488,14 @@ def main():
 
         def lift_leg(acc, masks, gidx, gw):
             if lift_lowres:
+                low_in = masks + acc.astype(masks.dtype) * 1e-6
+                full = jax.image.resize(
+                    low_in, (*low_in.shape[:2], mask_size, mask_size),
+                    method="bilinear",
+                )
                 lifted = jax.vmap(
-                    lambda m: lift_multiview_soft_gather_lowres(
-                        m, gidx, gw, (mask_size, mask_size)
-                    )
-                )(masks + acc.astype(masks.dtype) * 1e-6)
+                    lambda m: lift_multiview_soft_gather(m, gidx, gw)
+                )(full)
             else:
                 lifted = jax.vmap(
                     lambda m: lift_multiview_soft_gather(m, gidx, gw)

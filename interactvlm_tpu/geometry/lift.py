@@ -245,8 +245,15 @@ def lift_multiview_soft_gather_lowres(
     half-pixel convention, as ``InteractVLM.upsample_masks``) is evaluated
     pointwise: the 4 low-res corner taps per gathered full-res pixel are
     derived from ``gather_idx`` with integer ops in-graph (no extra map
-    memory). On TPU this replaces a B*V*H*W f32 materialization + HBM
-    gathers with 4 gathers from an h*w array that fits VMEM.
+    memory).
+
+    MEASURED SLOWER than resize-then-gather on a real v5e at serving
+    shapes (B=8, V=4, 256->1024, N=4722, K=256: 317 ms vs 91 ms;
+    ``scripts/lift_probe.py``) -- 4 taps quadruple the irregular-gather
+    work while ``jax.image.resize`` is a cheap regular op, and the
+    batch-vmapped taps tile-pad 16x in HBM (9.2 GiB of temps, OOM'd the
+    e2e bench). Kept for map-memory-constrained callers; the bench lifts
+    via resize + ``lift_multiview_soft_gather``.
 
     low_logits: (V, h, w); gather_idx/w: (V, N, K) from
     ``build_gather_maps`` at full resolution ``full_hw = (H, W)``.
@@ -292,3 +299,5 @@ def lift_multiview_soft_gather_lowres(
     total = view_vote.sum(0)
     out = jnp.where(count > 0, total / jnp.where(count > 0, count, 1.0), 0.0)
     return jnp.clip(out, 0.0, 1.0)
+
+

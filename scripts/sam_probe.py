@@ -70,6 +70,15 @@ def main():
             )
         elif name == "int8erf":
             cfg = dataclasses.replace(base, weights_int8=True)
+        elif name == "noattn8":
+            # int8 matmuls + identity attention: isolates the matmul leg
+            # of the int8 composition (B=32 e2e int8 gain collapse)
+            cfg = dataclasses.replace(
+                base, weights_int8=True, gelu_approx=True
+            )
+        elif name == "noattn":
+            # tanh GELU so noattn vs noattn8 differ ONLY in int8
+            cfg = dataclasses.replace(base, gelu_approx=True)
         if name == "gelutanh":
             import flax.linen as nn
 
@@ -92,8 +101,12 @@ def main():
             ie_mod.Attention = functools.partial(
                 orig_attention, use_rel_pos=False
             )
-        elif name == "noattn":
+        elif name in ("noattn", "noattn8"):
             import flax.linen as nn
+
+            from interactvlm_tpu.models.sam.image_encoder import _enc_dense
+
+            _i8 = name == "noattn8"
 
             class _IdAttn(nn.Module):
                 dim: int
@@ -103,10 +116,10 @@ def main():
 
                 @nn.compact
                 def __call__(self, x):
-                    x = nn.Dense(self.dim * 3, dtype=self.dtype,
-                                 name="qkv")(x)[..., : self.dim]
-                    return nn.Dense(self.dim, dtype=self.dtype,
-                                    name="proj")(x)
+                    x = _enc_dense(self.dim * 3, "qkv", self.dtype,
+                                   int8=_i8)(x)[..., : self.dim]
+                    return _enc_dense(self.dim, "proj", self.dtype,
+                                      int8=_i8)(x)
 
             ie_mod.Attention = _IdAttn
         else:

@@ -385,3 +385,4 @@ class TestGatherLift:
             )
         )
         assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
