@@ -1389,6 +1389,13 @@ def build_dataset(name: str, base_dir: str, split: str, args):
         np_ = getattr(args, "num_object_points", None)
         if np_:
             kw["num_points"] = np_
+    elif name == "ocontact":
+        # the reference configures both object datasets from ONE
+        # OC_SAM_VIEW_TYPE (run_train.sh:169); PICO trees are rendered
+        # with mesh views (..._BM), so only forward explicit mesh types
+        vt = getattr(args, "oC_sam_view_type", None)
+        if vt and "BM" in vt:
+            kw["view_type"] = vt
     if getattr(args, "num_conversations", 1) > 1 and name in (
         "sem_seg", "sem_seg_lisa", "refer_seg", "refer_seg_lisa"
     ):

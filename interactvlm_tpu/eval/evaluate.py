@@ -66,11 +66,26 @@ def evaluate_batch(
     eos_id: int = 2,
     kv_cache: str = "dense",
     meta: Optional[Dict] = None,
+    cached_image_emb=None,
+    max_seg_tokens: int = 1,
 ):
     """Generate-mode inference for one batch. Returns dict with
     generated_ids, pred_masks (B, V, H, W), pred_contact_3d (B, N), and --
     when ``meta`` carries resize/label lists -- ``pred_masks_original``
-    (per-sample original-frame masks for 2D tasks)."""
+    (per-sample original-frame masks for 2D tasks).
+
+    ``cached_image_emb``: precomputed frozen-encoder embedding of the FIXED
+    canonical view renders ((1, V, g, g, C), broadcast over the batch) --
+    valid only when every sample shares the same ``sam_images`` (hcontact's
+    Vitruvian renders, reference hcontact_3d.py:268-271). Skips the SAM
+    ViT encode, which dominates eval cost (~81% of e2e at ViT-H).
+
+    ``max_seg_tokens`` (K) > 1 decodes one mask set per emitted seg token
+    (reference InteractVLM.py:544-576: a Gen-Hu-Obj / Gen-Int answer can
+    carry both [HSEG] and [OSEG]); adds ``pred_masks_k`` (B, K, V, H, W),
+    ``token_ids_k``, ``valid_k``, and per-slot 3D lifts routed by token id
+    (``pred_hcontact_3d`` from [HSEG]/[SEG] slots, ``pred_ocontact_3d``
+    from [OSEG] slots when object maps ride the batch)."""
     from interactvlm_tpu.models.llava import LlavaModel
 
     input_ids, attn_mask = truncate_at_answer(
@@ -96,14 +111,28 @@ def evaluate_batch(
     seg_hidden = step_hidden[np.arange(B), first]  # predictor hidden
     token_id = gen_ids[np.arange(B), first]
 
+    if max_seg_tokens > 1:
+        return _evaluate_batch_multiseg(
+            model, params, batch, cfg, mask_size, gen_ids, is_seg,
+            step_hidden, has_seg, max_seg_tokens, human_maps, object_maps,
+            cached_image_emb, contact_type,
+        )
+
     # one SAM-tail pass: low-res decoder logits, upsampled for the square
     # path; the original-frame path reuses the SAME low-res tensor (the
     # ViT encode of B*V views dominates eval cost -- never run it twice)
-    low = model.apply(
-        params, jnp.asarray(seg_hidden), jnp.asarray(token_id),
-        batch["sam_images"], batch["cam_params"], contact_type,
-        method=InteractVLM.low_res_masks_from_seg_hidden,
-    )
+    if cached_image_emb is not None:
+        low = model.apply(
+            params, jnp.asarray(seg_hidden), jnp.asarray(token_id),
+            cached_image_emb, batch["cam_params"], contact_type,
+            method=InteractVLM.low_res_masks_from_image_emb,
+        )
+    else:
+        low = model.apply(
+            params, jnp.asarray(seg_hidden), jnp.asarray(token_id),
+            batch["sam_images"], batch["cam_params"], contact_type,
+            method=InteractVLM.low_res_masks_from_seg_hidden,
+        )
     pred_masks = model.apply(
         params, low, mask_size, method=InteractVLM.upsample_masks
     )
@@ -186,6 +215,102 @@ def evaluate_batch(
     }
 
 
+def _evaluate_batch_multiseg(
+    model, params, batch, cfg, mask_size, gen_ids, is_seg, step_hidden,
+    has_seg, K, human_maps, object_maps, cached_image_emb, contact_type,
+):
+    """K-seg-token decode: one mask set per emitted seg token (reference
+    InteractVLM.py:544-576 loops the seg tokens of each generated answer;
+    here the slots fold into the decode batch).
+
+    Slot routing by token id: [HSEG] (or plain [SEG]) slots lift through
+    the human maps, [OSEG] slots through per-sample object maps."""
+    import jax
+
+    B = gen_ids.shape[0]
+    seg_h_k = np.zeros((B, K, step_hidden.shape[-1]), step_hidden.dtype)
+    tok_k = np.zeros((B, K), gen_ids.dtype)
+    valid_k = np.zeros((B, K), bool)
+    for b in range(B):
+        pos = np.nonzero(is_seg[b])[0][:K]
+        seg_h_k[b, : len(pos)] = step_hidden[b, pos]
+        tok_k[b, : len(pos)] = gen_ids[b, pos]
+        valid_k[b, : len(pos)] = True
+
+    image_emb = cached_image_emb
+    if image_emb is None:
+        image_emb = model.apply(
+            params, batch["sam_images"], method=InteractVLM.encode_sam_images
+        )
+    low_k = model.apply(
+        params, jnp.asarray(seg_h_k), jnp.asarray(tok_k),
+        jnp.asarray(valid_k), image_emb, batch["cam_params"],
+        method=InteractVLM.multi_seg_low_res_masks,
+    )  # (B, K, V, h, w)
+    V = low_k.shape[2]
+    pred_k = model.apply(
+        params, low_k.reshape(B * K, V, *low_k.shape[3:]), mask_size,
+        method=InteractVLM.upsample_masks,
+    ).reshape(B, K, V, mask_size, mask_size)
+    pred_k_np = np.asarray(pred_k)
+
+    # per-row slot selection by token id
+    human_ids = {cfg.seg_token_idx, cfg.hseg_token_idx}
+    is_h_slot = np.isin(tok_k, list(human_ids)) & valid_k
+    is_o_slot = (tok_k == cfg.oseg_token_idx) & valid_k
+    h_slot = np.where(is_h_slot.any(1), is_h_slot.argmax(1), 0)
+    o_slot = np.where(is_o_slot.any(1), is_o_slot.argmax(1), 0)
+
+    pred_h3d = pred_o3d = None
+    if human_maps is not None and is_h_slot.any():
+        masks_h = jnp.asarray(pred_k_np[np.arange(B), h_slot])
+        pred_h3d = np.asarray(lift_human(
+            masks_h, human_maps["p2v"], human_maps["bary"],
+            int(human_maps.get("num_vertices", cfg.num_human_vertices)),
+        )) * is_h_slot.any(1)[:, None]
+    if is_o_slot.any():
+        masks_o = jnp.asarray(pred_k_np[np.arange(B), o_slot])
+        if "obj_p2v" in batch:
+            from interactvlm_tpu.geometry.lift import (
+                lift_multiview_thresholded,
+            )
+
+            n_out = (batch["gt_ocontact"].shape[1]
+                     if "gt_ocontact" in batch else cfg.num_object_points)
+            pred_o3d = np.asarray(jax.vmap(
+                lambda m, p, b: lift_multiview_thresholded(m, p, b, n_out)
+            )(masks_o, batch["obj_p2v"], batch["obj_bary"]))
+        elif object_maps is not None:
+            pred_o3d = np.asarray(lift_object(
+                masks_o, object_maps["p2v"], object_maps["bary"],
+                int(object_maps.get("num_vertices", cfg.num_object_points)),
+            ))
+        if pred_o3d is not None:
+            pred_o3d = pred_o3d * is_o_slot.any(1)[:, None]
+
+    # back-compat single-token fields: the first emitted seg token's set
+    first_slot = np.zeros(B, np.int64)
+    pred_masks = pred_k_np[np.arange(B), first_slot] * has_seg[
+        :, None, None, None
+    ].astype(pred_k_np.dtype)
+    if "hcontact" in contact_type:
+        pred_contact_3d = pred_h3d
+    else:
+        pred_contact_3d = pred_o3d
+    return {
+        "generated_ids": gen_ids,
+        "pred_masks": pred_masks,
+        "pred_masks_original": None,
+        "pred_masks_k": pred_k_np,
+        "token_ids_k": tok_k,
+        "valid_k": valid_k,
+        "pred_hcontact_3d": pred_h3d,
+        "pred_ocontact_3d": pred_o3d,
+        "pred_contact_3d": pred_contact_3d,
+        "has_seg": has_seg,
+    }
+
+
 def shard_eval_batches(batch_iter, mesh):
     """Distributed evaluation, TPU-native form.
 
@@ -234,10 +359,16 @@ def validate(
     max_batches: Optional[int] = None,
     kv_cache: str = "dense",
     mesh=None,
+    cache_view_encode: Optional[bool] = None,
 ):
     """Run the eval loop; returns (metrics dict, saved_results for DAMON
     reports). Pass ``mesh`` to shard every batch over the ``data`` axis
-    (distributed eval; see ``shard_eval_batches``)."""
+    (distributed eval; see ``shard_eval_batches``).
+
+    ``cache_view_encode``: encode the canonical view renders ONCE and reuse
+    the frozen-encoder embedding for every batch (valid when all samples
+    share fixed renders -- hcontact's Vitruvian views). Default (None):
+    auto-on for hcontact, off for per-sample-render object tasks."""
     if mesh is not None:
         batch_iter = shard_eval_batches(batch_iter, mesh)
     inter_m = AverageMeter("Intersec", summary_type=Summary.SUM)
@@ -263,10 +394,20 @@ def validate(
     # (reference validate scores postprocessed masks vs the label)
     is_2d = any(k in ds_name for k in
                 ("h2dcontact", "refer_seg", "reason_seg", "sem_seg"))
+    if cache_view_encode is None:
+        cache_view_encode = is_h  # fixed canonical renders (see docstring)
+    cached_emb = None
 
     for bi, (batch, meta) in enumerate(batch_iter):
         if max_batches is not None and bi >= max_batches:
             break
+        if cache_view_encode and cached_emb is None:
+            # frozen encoder + identical per-sample renders => constant.
+            # Encode one sample's V views and broadcast over every batch.
+            cached_emb = model.apply(
+                params, batch["sam_images"][:1],
+                method=InteractVLM.encode_sam_images,
+            )
         if inference_type == "generate":
             out = evaluate_batch(
                 model, params, batch, cfg, mask_size,
@@ -274,6 +415,7 @@ def validate(
                 human_maps=human_maps, object_maps=object_maps,
                 kv_cache=kv_cache,
                 meta=meta if is_2d else None,
+                cached_image_emb=cached_emb,
             )
             pred_masks = out["pred_masks"]
             pred_3d = out["pred_contact_3d"]
@@ -521,6 +663,12 @@ def main(argv=None):
     p.add_argument("--distributed", action="store_true",
                    help="shard eval batches over all devices' data axis "
                         "(reference DistributedSampler, evaluate.py:346)")
+    p.add_argument("--cache_view_encode", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="encode the fixed canonical view renders once and "
+                        "reuse the frozen-encoder embedding every batch "
+                        "(auto: on for hcontact, off for per-sample-render "
+                        "object tasks)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -673,6 +821,8 @@ def main(argv=None):
         inference_type=args.inference_type,
         human_maps=human_maps, max_batches=args.max_batches,
         kv_cache=args.kv_cache, dist_matrix=dist_matrix, mesh=mesh,
+        cache_view_encode=(None if args.cache_view_encode == "auto"
+                           else args.cache_view_encode == "on"),
     )
     report = {"metrics": results}
     if "hcontact" in args.val_dataset and saved["pred"]:

@@ -115,6 +115,77 @@ class InteractVLM(nn.Module):
         )[:, 0]
         return emb, token_id, has_seg
 
+    def seg_embeddings_k(self, hidden, spliced_ids, k: int):
+        """Up to K seg-token slots per row, in emission order.
+
+        The reference gathers ALL seg tokens per conversation and decodes
+        one mask set per token (``model/InteractVLM.py:389-410`` train,
+        ``:544-576`` eval) -- a Gen-Hu-Obj / Gen-Int conversation can carry
+        both [HSEG] and [OSEG]. Static-shape form: pad to ``k`` slots with
+        an indicator (same trick as multiconv's C).
+
+        Returns (emb (B, K, out_dim), token_id (B, K), valid (B, K)).
+        """
+        cfg = self.config
+        seg_ids = [cfg.seg_token_idx]
+        if cfg.base_token_type in ("Gen-Hu-Obj", "Gen-Int"):
+            seg_ids += [cfg.hseg_token_idx, cfg.oseg_token_idx]
+        proj = self.text_hidden_fcs(hidden)  # (B, L, out_dim)
+        mask = seg_predictor_mask(spliced_ids, seg_ids)  # (B, L)
+        L = mask.shape[1]
+        pos_all = jnp.where(mask, jnp.arange(L)[None], L)
+        # first K marked positions ascending (top_k of negated positions)
+        neg, _ = jax.lax.top_k(-pos_all, k)
+        pos = -neg  # (B, K) ascending
+        valid = pos < L
+        posc = jnp.minimum(pos, L - 1)
+        emb = jnp.take_along_axis(proj, posc[..., None], axis=1)
+        emb = jnp.where(valid[..., None], emb, 0.0)
+        token_id = jnp.take_along_axis(
+            spliced_ids, jnp.minimum(posc + 1, L - 1), axis=1
+        )
+        return emb, token_id, valid
+
+    def multi_seg_low_res_masks(
+        self, seg_hidden, token_id, valid, image_emb, cam_params
+    ):
+        """K mask sets per row, one per seg-token slot (reference decodes a
+        mask set per seg token, InteractVLM.py:389-410,544-576; the slots
+        fold into the decode batch -- no per-token Python loop).
+
+        seg_hidden: (B, K, llm_hidden) raw hidden states at the predictor
+        positions; token_id: (B, K); valid: (B, K) slot indicators;
+        image_emb: (B|1, V, g, g, C) frozen-encoder embedding.
+        Under DifDe each slot routes to its token's domain decoder
+        ([HSEG] -> human, [OSEG] -> object, else default).
+        Returns low-res logits (B, K, V, 4g, 4g), invalid slots zeroed.
+        """
+        cfg = self.config
+        B, K = seg_hidden.shape[:2]
+        emb = self.text_hidden_fcs(
+            seg_hidden.reshape(B * K, seg_hidden.shape[-1])
+        )
+        if image_emb.shape[0] == 1 and B > 1:
+            image_emb = jnp.broadcast_to(
+                image_emb, (B,) + image_emb.shape[1:]
+            )
+        # slot (b, k) -> image b: repeat each image K consecutive times
+        emb_flat = jnp.repeat(image_emb, K, axis=0)
+        cams_flat = jnp.repeat(cam_params, K, axis=0)
+        tok_flat = token_id.reshape(B * K)
+        view_tokens = self.condition_views(emb, cams_flat, tok_flat)
+        if cfg.use_diff_decoder:
+            low_def = self.decode_view_masks(emb_flat, view_tokens)
+            low_h = self.decode_view_masks(emb_flat, view_tokens, "hcontact")
+            low_o = self.decode_view_masks(emb_flat, view_tokens, "ocontact")
+            sel_h = (tok_flat == cfg.hseg_token_idx)[:, None, None, None]
+            sel_o = (tok_flat == cfg.oseg_token_idx)[:, None, None, None]
+            low = jnp.where(sel_h, low_h, jnp.where(sel_o, low_o, low_def))
+        else:
+            low = self.decode_view_masks(emb_flat, view_tokens)
+        low = low.reshape(B, K, *low.shape[1:])
+        return jnp.where(valid[:, :, None, None, None], low, 0.0)
+
     def condition_views(self, emb, cam_params, token_id):
         """Per-view prompt tokens from one seg embedding
         (reference process_embeddings, InteractVLM.py:268-294).
@@ -296,6 +367,36 @@ class InteractVLM(nn.Module):
         }
 
     # ------------------------------------------------------------------
+    def low_res_masks_from_image_emb(
+        self,
+        seg_hidden,
+        token_id,
+        image_emb,
+        cam_params,
+        domain: Optional[str] = None,
+    ):
+        """Inference tail from a PRECOMPUTED SAM image embedding.
+
+        The hcontact flagship's SAM inputs are the four FIXED canonical
+        Vitruvian renders shared by every sample (reference loads them once
+        per dataset, ``datasets/hcontact_3d.py:268-271``) and the encoder is
+        frozen (``get_visual_embs`` runs under no_grad, InteractVLM.py:251),
+        so the (V, g, g, C) embedding is a constant: encode once at load
+        time and serve every batch from it (bitwise-identical outputs,
+        tests/test_interactvlm.py::test_cached_view_embedding_parity).
+        Object tasks render per sample and keep the streaming encode path.
+
+        image_emb: (B, V, g, g, C) or (1, V, g, g, C) broadcast over B.
+        """
+        emb = self.text_hidden_fcs(seg_hidden)
+        view_tokens = self.condition_views(emb, cam_params, token_id)
+        B = seg_hidden.shape[0]
+        if image_emb.shape[0] == 1 and B > 1:
+            image_emb = jnp.broadcast_to(
+                image_emb, (B,) + image_emb.shape[1:]
+            )
+        return self.decode_view_masks(image_emb, view_tokens, domain)
+
     def low_res_masks_from_seg_hidden(
         self,
         seg_hidden,
@@ -310,10 +411,10 @@ class InteractVLM(nn.Module):
         the crop-pad-then-resize-to-original path (``models/sam/sam.py:
         postprocess_masks``, reference sam.py:137-172) instead of the square
         canonical-render resize."""
-        emb = self.text_hidden_fcs(seg_hidden)
-        view_tokens = self.condition_views(emb, cam_params, token_id)
         image_emb = self.encode_sam_images(sam_images)
-        return self.decode_view_masks(image_emb, view_tokens, domain)
+        return self.low_res_masks_from_image_emb(
+            seg_hidden, token_id, image_emb, cam_params, domain
+        )
 
     def masks_from_seg_hidden(
         self,

@@ -136,6 +136,8 @@ def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
             hC_sam_view_type=args.hC_sam_view_type,
             oC_sam_view_type=args.oC_sam_view_type,
             multiview_channels=args.multiview_channels,
+            multiview_cam_cond=args.multiview_cam_cond,
+            cam_encoder_type=args.cam_encoder_type,
             num_human_vertices=args.num_human_vertices,
             num_object_points=getattr(args, "num_object_points", 2048),
             ce_loss_weight=args.ce_loss_weight,

@@ -153,3 +153,82 @@ def serving_budget(cfg, batch: int, max_len: int, views: int,
         "clip_params": clip_param_bytes(cfg.clip),
         "activations": activation_bytes(cfg, batch, views, prompt_len),
     })
+
+
+# --- training budget (VERDICT r3 #7) ----------------------------------------
+def trainable_param_count(cfg) -> int:
+    """Trainable parameters under the reference's freeze policy
+    (train.py:264-322 + LoRA): LoRA a/b on q/v per layer, text_hidden_fcs,
+    SAM mask decoder(s), cam-pose encoder (+splitter at Gen-Hu-Obj). The
+    LLaMA base, SAM encoder and CLIP tower are frozen."""
+    lc = cfg.llama
+    r = max(lc.lora_rank, 1) if lc.lora_rank else 8
+    lora = lc.num_layers * 2 * (lc.hidden_size * r
+                                + r * lc.num_heads * lc.head_dim)
+    fcs = lc.hidden_size * lc.hidden_size + lc.hidden_size * cfg.out_dim
+    d = cfg.sam.prompt_embed_dim
+    # two-way decoder blocks + hypernet MLPs + upscale convs
+    mask_decoder = 6 * 4 * d * d * 2 + 4 * 3 * d * d + 8 * d * d
+    n_dec = 3 if cfg.use_diff_decoder else 1
+    cam = 2 * 128 * 128 + cfg.multiview_channels * 128 * cfg.out_dim
+    splitter = 5 * 256 * 128 if cfg.base_token_type in (
+        "Gen-Hu-Obj", "Gen-Int") else 0
+    return lora + fcs + n_dec * mask_decoder + cam + splitter
+
+
+def train_activation_bytes(cfg, batch: int, views: int, seq_len: int,
+                           n_data: int = 1, n_model: int = 1,
+                           remat: bool = True) -> int:
+    """Peak live activations of one training step (estimate, remat policy:
+    per-LLaMA-block checkpointing as in models/llama.py).
+
+    Three candidate peaks: (a) the frozen SAM encode of B*V views (its
+    intermediates are inference-live but large -- stop_gradient means
+    nothing is SAVED, yet the block-local working set is the serving peak);
+    (b) LLaMA forward with remat: one block's full activation set live
+    during its backward recompute + the per-block saved hiddens;
+    (c) the logits/CE leg: (B, L, vocab) f32.
+    """
+    b = batch // max(n_data, 1)
+    s = cfg.sam
+    tokens = s.image_embedding_size ** 2
+    sam_peak = b * views * tokens * (
+        s.encoder_embed_dim * 2 * 4
+        + int(s.encoder_embed_dim * s.mlp_ratio) * 2
+    )
+    lc = cfg.llama
+    h = lc.hidden_size // max(n_model, 1) * max(n_model, 1)  # saved full
+    saved = lc.num_layers * b * seq_len * h * 2 if remat else (
+        lc.num_layers * b * seq_len * (
+            h * 6 + lc.intermediate_size * 3 // max(n_model, 1)) * 2
+    )
+    block_live = b * seq_len * (
+        4 * h + 3 * lc.intermediate_size // max(n_model, 1)
+    ) * 2
+    logits = b * seq_len * lc.vocab_size * 4 // max(n_model, 1)
+    llama_peak = saved + block_live + logits
+    return max(sam_peak, llama_peak)
+
+
+def training_budget(cfg, batch: int, views: int, seq_len: int,
+                    n_data: int = 1, n_model: int = 1,
+                    remat: bool = True) -> ServingBudget:
+    """Per-chip HBM budget of one training step on an (n_data, n_model)
+    mesh: frozen bf16 towers (LLaMA base TP-sharded over ``model``),
+    trainable params + grads (bf16+f32), ZeRO-style Adam moments sharded
+    over BOTH axes (train/train_step.py:43-94), remat activations.
+
+    The reference trains this scale with DeepSpeed ZeRO-2
+    (/root/reference/train.py:356-389)."""
+    t = trainable_param_count(cfg)
+    return ServingBudget({
+        "llama_params": llama_param_bytes(cfg.llama, tp=n_model),
+        "sam_params": sam_param_bytes(cfg.sam),
+        "clip_params": clip_param_bytes(cfg.clip),
+        # trainable copy rides inside llama/sam counts; grads are extra
+        "grads": t * 4,
+        "adam_moments": 2 * t * 4 // max(n_data * n_model, 1),
+        "activations": train_activation_bytes(
+            cfg, batch, views, seq_len, n_data, n_model, remat
+        ),
+    })

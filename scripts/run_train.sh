@@ -30,6 +30,21 @@ case $PRESET in
       --oC_sam_view_type 4MV-Z_HM \
       --epochs 30 --steps_per_epoch 500 --batch_size 8 "$@"
     ;;
+  hcontact-ocontact)
+    # the Gen-Hu-Obj interaction flagship (reference run_train.sh:165-199):
+    # mixed human-contact + object-contact + affordance + VQA training with
+    # [HSEG]/[OSEG] tokens, vi_v1 cam conditioning, low-poly-mesh object
+    # views, hC/oC loss weights 3.0
+    python -m interactvlm_tpu.train.train \
+      --exp_name interactvlm-3d-hcontact-ocontact \
+      --dataset "hcontact||ocontact||oafford||vqa" --sample_rates 9,9,5,2 \
+      --token_type Gen-Hu-Obj --cam_encoder_type vi_v1 \
+      --oC_sam_view_type 4MV-Z_HM_BM --hC_sam_view_type 4MV-Z_Vitru \
+      --hC_question_type parts --oC_question_type afford \
+      --hC_loss_weight 3.0 --oC_loss_weight 3.0 \
+      --epochs 30 --steps_per_epoch 500 --batch_size 8 \
+      --lr 3e-4 --warmup_steps 100 "$@"
+    ;;
   synthetic-smoke)
     python -m interactvlm_tpu.train.train --synthetic \
       --epochs 1 --steps_per_epoch 5 --batch_size 2 "$@"

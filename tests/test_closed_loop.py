@@ -207,3 +207,111 @@ def test_full_pipeline_learns_affordance(tmp_path):
     auc_trained = auc_of("trained")
     assert auc_trained > auc_base + 0.1, (auc_base, auc_trained)
     assert auc_trained > 0.6, auc_trained
+
+
+def _make_vqa_pkl(root):
+    import pickle
+    from os.path import join
+
+    put_image(root, "vqa0.jpg")
+    put_image(root, "vqa1.jpg")
+    recs = [
+        {"image": "vqa0.jpg", "question": "What is the person doing ?",
+         "answer": "sitting on a chair ."},
+        {"image": "vqa1.jpg", "question": "What object is being held ?",
+         "answer": "a ball ."},
+    ]
+    with open(join(root, "vqa.pkl"), "wb") as f:
+        pickle.dump(recs, f)
+
+
+def _make_pico_tree(root):
+    from interactvlm_tpu.datagen.recipes import generate_pico_tree
+    from interactvlm_tpu.geometry.views import OBJECT_VIEWS
+
+    verts, faces = sphere_mesh()
+    contact = np.zeros(len(verts), np.float32)
+    contact[10:60] = 1.0
+    put_image(root, "mug_img.jpg")
+    generate_pico_tree(
+        root,
+        {"mug_009": {"verts": verts, "faces": faces, "contact": contact,
+                     "image": "mug_img.jpg", "class_name": "Mug"}},
+        OBJECT_VIEWS["4MV-Z_HM_BM"], S,
+    )
+
+
+def _make_piad_tree_bm(tmp_path, root):
+    """PIAD tree rendered under the flagship's 4MV-Z_HM_BM views."""
+    from interactvlm_tpu.datagen.recipes import generate_piad_tree
+    from interactvlm_tpu.geometry.views import OBJECT_VIEWS
+
+    rng = np.random.default_rng(0)
+    cube = rng.uniform(-0.7, 0.7, (300, 3))
+    sit = (cube[:, 1] > 0.25).astype(int)
+    txt = tmp_path / "chair_001.txt"
+    _piad_txt(txt, "Chair", cube, sit)
+    put_image(root, "chair_001.jpg")
+    for split in ("train", "val", "test"):
+        generate_piad_tree(
+            root, {"chair_001": str(txt)}, OBJECT_VIEWS["4MV-Z_HM_BM"], S,
+            split=split, image_for={"chair_001": "chair_001.jpg"},
+            object_matches={"chair_001": ["chair_001"]}, affordance="sit",
+        )
+
+
+@pytest.mark.slow
+def test_interaction_flagship_preset_end_to_end(tmp_path):
+    """The Gen-Hu-Obj interaction flagship (scripts/run_train.sh
+    hcontact-ocontact; reference run_train.sh:165-199): the full 4-way
+    mixture hcontact||ocontact||oafford||vqa at rates 9,9,5,2 with [HSEG]/
+    [OSEG] tokens and vi_v1 cam conditioning trains end-to-end through the
+    real datagen -> dataset -> collate -> train-step path, and the trained
+    model serves all three contact tasks through the eval CLI."""
+    from interactvlm_tpu.train.train import main as train_main
+
+    verts, faces = sphere_mesh()
+    root = str(tmp_path / "data")
+    _make_tree(root, verts, faces)        # damon hcontact (Vitru views)
+    _make_pico_tree(root)                 # pico ocontact
+    _make_piad_tree_bm(tmp_path, root)    # piad oafford
+    _make_vqa_pkl(root)
+
+    runs = str(tmp_path / "runs")
+    # NOTE: hC view type stays the mv2 fixture set (the tree above renders
+    # mv2); the reference flagship uses 4MV-Z_Vitru -- same machinery,
+    # different camera table.
+    train_main([
+        "--tokenizer", "whitespace", "--model_scale", "tiny",
+        "--dataset", "hcontact||ocontact||oafford||vqa",
+        "--sample_rates", "9,9,5,2",
+        "--token_type", "Gen-Hu-Obj", "--cam_encoder_type", "vi_v1",
+        "--oC_sam_view_type", "4MV-Z_HM_BM",
+        "--hC_sam_view_type", "4MV-Z_Vitru_mv2",
+        "--hC_question_type", "parts", "--oC_question_type", "afford",
+        "--hC_loss_weight", "3.0", "--oC_loss_weight", "3.0",
+        "--dataset_dir", root,
+        "--image_size", str(S), "--clip_size", "28",
+        "--num_human_vertices", "178", "--num_object_points", "300",
+        "--model_max_length", "384",
+        "--epochs", "1", "--steps_per_epoch", "4",
+        "--batch_size", "4", "--lr", "1e-3", "--warmup_steps", "2",
+        "--log_base_dir", runs, "--exp_name", "flagship",
+        "--val_batches", "1", "--val_every", "1", "--data_workers", "2",
+        "--no_tensorboard",
+    ])
+
+    from interactvlm_tpu.eval.evaluate import main as eval_main
+
+    r_h = eval_main(["--run_dir", f"{runs}/flagship", "--dataset_dir", root,
+                     "--val_dataset", "hcontact", "--batch_size", "2",
+                     "--max_batches", "1"])
+    assert np.isfinite(r_h["metrics"]["f1"])
+    r_oc = eval_main(["--run_dir", f"{runs}/flagship", "--dataset_dir", root,
+                      "--val_dataset", "ocontact", "--batch_size", "1",
+                      "--max_batches", "1"])
+    assert np.isfinite(r_oc["metrics"]["f1"])
+    r_oa = eval_main(["--run_dir", f"{runs}/flagship", "--dataset_dir", root,
+                      "--val_dataset", "oafford", "--batch_size", "1",
+                      "--max_batches", "1"])
+    assert np.isfinite(r_oa["metrics"]["auc"])

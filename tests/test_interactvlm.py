@@ -127,6 +127,63 @@ class TestInferenceTail:
         c = np.asarray(contact)
         assert (c >= 0).all() and (c <= 1).all()
 
+    def test_cached_view_embedding_parity(self, tiny_model):
+        """Encode-once serving (hcontact's fixed Vitruvian renders,
+        reference hcontact_3d.py:268-271 + frozen encoder
+        InteractVLM.py:251): the cached-embedding tail is the same math as
+        recomputing the encode per batch. At matching batch shape the
+        outputs are BITWISE-identical; the (1, V)->(B, V) broadcast form
+        differs only by XLA's batch-dependent reduction tiling in the
+        encoder (<=1e-6, last-ulp)."""
+        cfg, model, params = tiny_model
+        B, V = 3, cfg.multiview_channels
+        rng = np.random.default_rng(7)
+        seg_hidden = jnp.asarray(
+            rng.normal(size=(B, cfg.llama.hidden_size)).astype(np.float32)
+        )
+        token_id = jnp.full((B,), cfg.seg_token_idx)
+        # one shared canonical render set, repeated per sample
+        one = jnp.asarray(
+            rng.random((1, V, cfg.sam.img_size, cfg.sam.img_size, 3))
+            .astype(np.float32)
+        )
+        sam_images = jnp.broadcast_to(one, (B,) + one.shape[1:])
+        cams = jnp.asarray(rng.random((B, V, 5)).astype(np.float32))
+
+        cached_emb = model.apply(
+            params, one, method=InteractVLM.encode_sam_images,
+        )
+        # (a) bitwise at matching encode shape: B=1 streaming vs cached
+        stream1 = model.apply(
+            params, seg_hidden[:1], token_id[:1], one, cams[:1],
+            method=InteractVLM.low_res_masks_from_seg_hidden,
+        )
+        cached1 = model.apply(
+            params, seg_hidden[:1], token_id[:1], cached_emb, cams[:1],
+            method=InteractVLM.low_res_masks_from_image_emb,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cached1), np.asarray(stream1)
+        )
+        # (b) broadcast serving form at B=3 vs per-batch streaming encode
+        streaming = model.apply(
+            params, seg_hidden, token_id, sam_images, cams,
+            method=InteractVLM.low_res_masks_from_seg_hidden,
+        )
+        cached = model.apply(
+            params, seg_hidden, token_id, cached_emb, cams,
+            method=InteractVLM.low_res_masks_from_image_emb,
+        )
+        assert cached.shape == streaming.shape
+        np.testing.assert_allclose(
+            np.asarray(cached), np.asarray(streaming),
+            rtol=0, atol=1e-5,
+        )
+        # all broadcast rows saw the identical embedding
+        c = np.asarray(cached)
+        s = np.asarray(streaming)
+        assert np.abs(c - s).max() < 1e-5
+
 
 class TestDifDeTraining:
     def test_domain_decoders_receive_gradients(self):
@@ -204,4 +261,186 @@ class TestDifDeTraining:
         )
         assert not np.allclose(perturbed("human_mask_decoder"), base), (
             "human decoder is not the one hcontact rows train"
+        )
+
+
+class TestMultiSegTokens:
+    """K seg-token slots per row (reference decodes one mask set per seg
+    token in a conversation, InteractVLM.py:389-410 train / :544-576 eval;
+    a Gen-Hu-Obj answer can emit both [HSEG] and [OSEG])."""
+
+    @pytest.fixture(scope="class")
+    def hu_obj_model(self):
+        cfg = interactvlm_tiny(
+            token_type="Gen-Hu-Obj-DifDe",
+            hseg_token_idx=501, oseg_token_idx=502,
+        )
+        model = InteractVLM(cfg)
+        batch = make_batch(cfg)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        return cfg, model, params
+
+    def test_seg_embeddings_k_positions_and_slot0_parity(self, hu_obj_model):
+        cfg, model, params = hu_obj_model
+        L = 10
+        ids = np.full((2, L), 7, np.int32)
+        # row 0: [HSEG] at 3, [OSEG] at 6; row 1: [SEG] at 2 only
+        ids[0, 3] = cfg.hseg_token_idx
+        ids[0, 6] = cfg.oseg_token_idx
+        ids[1, 2] = cfg.seg_token_idx
+        rng = np.random.default_rng(3)
+        hidden = jnp.asarray(
+            rng.normal(size=(2, L, cfg.llama.hidden_size)).astype(np.float32)
+        )
+        spliced = jnp.asarray(ids)
+        emb_k, tok_k, valid_k = model.apply(
+            params, hidden, spliced, 2,
+            method=InteractVLM.seg_embeddings_k,
+        )
+        assert emb_k.shape == (2, 2, cfg.out_dim)
+        np.testing.assert_array_equal(
+            np.asarray(tok_k)[0], [cfg.hseg_token_idx, cfg.oseg_token_idx]
+        )
+        assert np.asarray(valid_k).tolist() == [[True, True], [True, False]]
+        # slot 0 == the single-token path
+        emb1, tok1, has1 = model.apply(
+            params, hidden, spliced, method=InteractVLM.seg_embeddings,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(emb_k)[:, 0], np.asarray(emb1)
+        )
+        np.testing.assert_array_equal(np.asarray(tok_k)[:, 0],
+                                      np.asarray(tok1))
+        # invalid slot contributes a zero embedding
+        assert np.abs(np.asarray(emb_k)[1, 1]).max() == 0
+
+    def test_two_seg_tokens_two_scored_mask_sets(self, hu_obj_model):
+        """A Gen-Hu-Obj row emitting [HSEG]+[OSEG] produces TWO mask sets,
+        each routed to its domain decoder and scored against its own GT
+        (reference per-token semantics, InteractVLM.py:544-576)."""
+        cfg, model, params = hu_obj_model
+        B, K, V = 2, 2, cfg.multiview_channels
+        S = cfg.sam.img_size
+        rng = np.random.default_rng(11)
+        seg_hidden = jnp.asarray(
+            rng.normal(size=(B, K, cfg.llama.hidden_size)).astype(np.float32)
+        )
+        tok = jnp.asarray([[cfg.hseg_token_idx, cfg.oseg_token_idx],
+                           [cfg.hseg_token_idx, 0]], jnp.int32)
+        valid = jnp.asarray([[True, True], [True, False]])
+        sam_images = jnp.asarray(
+            rng.random((B, V, S, S, 3)).astype(np.float32))
+        cams = jnp.asarray(rng.random((B, V, 5)).astype(np.float32))
+        image_emb = model.apply(
+            params, sam_images, method=InteractVLM.encode_sam_images)
+
+        low_k = model.apply(
+            params, seg_hidden, tok, valid, image_emb, cams,
+            method=InteractVLM.multi_seg_low_res_masks,
+        )
+        g4 = cfg.sam.image_embedding_size * 4
+        assert low_k.shape == (B, K, V, g4, g4)
+        # per-slot parity with the single-token path + its domain decoder
+        for b, k, domain in ((0, 0, "hcontact"), (0, 1, "ocontact"),
+                             (1, 0, "hcontact")):
+            single = model.apply(
+                params, seg_hidden[b:b + 1, k], tok[b:b + 1, k],
+                image_emb[b:b + 1], cams[b:b + 1], domain,
+                method=InteractVLM.low_res_masks_from_image_emb,
+            )
+            np.testing.assert_allclose(
+                np.asarray(low_k)[b, k], np.asarray(single)[0],
+                rtol=0, atol=1e-5,
+            )
+        # invalid slot predicts nothing
+        assert np.abs(np.asarray(low_k)[1, 1]).max() == 0
+
+        # both mask sets SCORE against their own GT: human slot lifts to
+        # vertices, object slot lifts through per-sample maps
+        batch = make_batch(cfg)
+        masks_k = model.apply(
+            params, low_k.reshape(B * K, V, g4, g4), MASK,
+            method=InteractVLM.upsample_masks,
+        ).reshape(B, K, V, MASK, MASK)
+        h3d = lift_human(
+            masks_k[:, 0], batch["human_p2v"], batch["human_bary"],
+            cfg.num_human_vertices,
+        )
+        assert h3d.shape == (B, cfg.num_human_vertices)
+        from interactvlm_tpu.eval.metrics import contact_f1
+
+        gt_h = np.asarray(batch["gt_hcontact"])
+        f1_h = contact_f1(gt_h, np.asarray(h3d))[0]
+        assert np.isfinite(f1_h)
+        from interactvlm_tpu.geometry.lift import lift_multiview_thresholded
+
+        P = cfg.num_object_points
+        obj_p2v = jnp.asarray(
+            rng.integers(-1, P, (B, V, MASK, MASK, 3)).astype(np.int32))
+        obj_bary = jnp.asarray(
+            rng.dirichlet([1, 1, 1], (B, V, MASK, MASK)).astype(np.float32))
+        o3d = jax.vmap(
+            lambda m, p, bb: lift_multiview_thresholded(m, p, bb, P)
+        )(masks_k[:, 1], obj_p2v, obj_bary)
+        assert o3d.shape == (B, P)
+        assert np.isfinite(np.asarray(o3d)).all()
+
+
+class TestGenHuObjTraining:
+    def test_splitter_heads_receive_gradients_from_mixed_batch(self):
+        """The interaction flagship (Gen-Hu-Obj, reference
+        run_train.sh:165-199) trains hcontact + ocontact in one mixture;
+        the AttentionSplitter's human AND object query heads must both
+        receive gradients from a mixed batch (the human head via [HSEG]
+        rows' losses, the object head via [OSEG] rows')."""
+        from interactvlm_tpu.models.interactvlm import TASK_OCONTACT
+
+        cfg = interactvlm_tiny(
+            token_type="Gen-Hu-Obj", cam_encoder_type="vi_v1",
+            hseg_token_idx=501, oseg_token_idx=502,
+        )
+        model = InteractVLM(cfg)
+        rng = np.random.default_rng(0)
+        batch = make_batch(cfg, tasks=(TASK_HCONTACT, TASK_OCONTACT))
+        # rows carry their domain token: row 0 [HSEG], row 1 [OSEG]
+        ids = np.asarray(batch["input_ids"]).copy()
+        L = ids.shape[1]
+        ids[0, L - 2] = cfg.hseg_token_idx
+        ids[1, L - 2] = cfg.oseg_token_idx
+        batch["input_ids"] = jnp.asarray(ids)
+        labels = np.asarray(batch["labels"]).copy()
+        labels[0, L - 2] = cfg.hseg_token_idx
+        labels[1, L - 2] = cfg.oseg_token_idx
+        batch["labels"] = jnp.asarray(labels)
+        # ocontact fields (collate's include_object_maps payload)
+        P = cfg.num_object_points
+        V = cfg.multiview_channels
+        batch["gt_ocontact"] = jnp.asarray(
+            (rng.random((2, P)) > 0.7).astype(np.float32))
+        batch["obj_p2v"] = jnp.asarray(
+            rng.integers(-1, P, (2, V, MASK, MASK, 3)).astype(np.int32))
+        batch["obj_bary"] = jnp.asarray(
+            rng.dirichlet([1, 1, 1], (2, V, MASK, MASK)).astype(np.float32))
+        batch["obj_valid_verts"] = jnp.ones((2, P), jnp.float32)
+
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        assert float(out["hC_loss"]) > 0
+        assert float(out["oC_loss"]) > 0
+
+        def loss_fn(p):
+            return model.apply(p, batch)["loss"]
+
+        g = jax.grad(loss_fn)(params)["params"]
+        split = g["attention_splitter"]
+        h_leaves = jax.tree.leaves(split["query_human"])
+        o_leaves = jax.tree.leaves(split["query_object"])
+        assert any(float(jnp.abs(x).max()) > 0 for x in h_leaves), (
+            "human splitter head got no gradient from the mixed batch")
+        assert any(float(jnp.abs(x).max()) > 0 for x in o_leaves), (
+            "object splitter head got no gradient from the mixed batch")
+        # vi_v1 cam conditioning trains too
+        assert any(
+            float(jnp.abs(x).max()) > 0
+            for x in jax.tree.leaves(g["cam_pose_encoder"])
         )
