@@ -161,6 +161,21 @@ class LlamaConfig:
     # weight HBM bytes -- the decode loop is weight-bandwidth-bound.
     weights_int8: bool = False
 
+    @property
+    def padded_vocab_size(self) -> int:
+        """embed_tokens/lm_head rows, rounded up to a multiple of 128.
+
+        The real tokenizer length after [SEG]/[HSEG]/[OSEG] registration
+        (reference utils/utils.py:335-362; our train.py passes
+        ``len(tokenizer)``) is odd -- e.g. 32003 -- which cannot shard over
+        the ``model`` mesh axis (vocab is the TP axis of both tables,
+        parallel/mesh.py:LOGICAL_RULES). 128 divides every plausible TP
+        degree and the MXU tile. Ids in [vocab_size, padded) are never
+        produced: ``LlamaForCausalLM.logits`` masks the pad columns to
+        -inf before any argmax/softmax consumer.
+        """
+        return -(-self.vocab_size // 128) * 128
+
 
 def llama_13b(**kw) -> LlamaConfig:
     return LlamaConfig(**kw)

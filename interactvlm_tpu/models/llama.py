@@ -408,7 +408,7 @@ class LlamaModel(nn.Module):
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(
-            cfg.vocab_size,
+            cfg.padded_vocab_size,
             cfg.hidden_size,
             dtype=cfg.dtype,
             embedding_init=nn.with_logical_partitioning(
@@ -463,24 +463,38 @@ class LlamaForCausalLM(nn.Module):
     def setup(self):
         self.model = LlamaModel(self.config)
         self.lm_head = _dense(
-            self.config.vocab_size,
+            self.config.padded_vocab_size,
             ("embed", "vocab"),
             "lm_head",
             self.config.dtype,
             int8=self.config.weights_int8,
         )
 
+    def logits(self, h):
+        """lm_head with the vocab-pad columns masked to -inf.
+
+        Tables are padded to ``padded_vocab_size`` so vocab shards over the
+        TP axis (an odd post-[SEG] tokenizer length is indivisible); the
+        mask keeps pad ids out of every argmax/softmax consumer.
+        """
+        out = self.lm_head(h)
+        cfg = self.config
+        if cfg.padded_vocab_size != cfg.vocab_size:
+            pad = jnp.arange(cfg.padded_vocab_size) >= cfg.vocab_size
+            out = jnp.where(pad, jnp.asarray(-1e30, out.dtype), out)
+        return out
+
     def __call__(self, input_ids, attn_mask=None):
         x = self.model.embed(input_ids)
         h, _ = self.model(x, attn_mask=attn_mask)
-        return self.lm_head(h), h
+        return self.logits(h), h
 
     def forward_embeds(self, inputs_embeds, positions=None, attn_mask=None,
                        caches=None, fresh_cache=True):
         h, new_caches = self.model(
             inputs_embeds, positions, attn_mask, caches, fresh_cache
         )
-        return self.lm_head(h), h, new_caches
+        return self.logits(h), h, new_caches
 
     def embed(self, input_ids):
         return self.model.embed(input_ids)

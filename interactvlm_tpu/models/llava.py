@@ -217,19 +217,19 @@ class LlavaModel(nn.Module):
         else:
             caches = init_kv_cache(self.llama_config, B, max_len)
         positions = jnp.broadcast_to(jnp.arange(Lp)[None], (B, Lp))
-        logits, hidden, caches = self.lm.forward_embeds(
-            embeds, positions=positions, attn_mask=spliced_mask,
-            caches=caches,
+        hidden, caches = self.lm.model(
+            embeds, positions, spliced_mask, caches, True
         )
         # right-padded rows: valid tokens form a prefix of the spliced seq
         prompt_len = spliced_mask.astype(jnp.int32).sum(axis=-1)
         last = jnp.maximum(prompt_len - 1, 0)
-        last_logits = jnp.take_along_axis(
-            logits, last[:, None, None], axis=1
-        )[:, 0]
         last_hidden = jnp.take_along_axis(
             hidden, last[:, None, None], axis=1
         )[:, 0]
+        # lm_head at the LAST VALID position only: greedy decode never reads
+        # the other rows, and the full (B, Lp, vocab) tensor was the largest
+        # prefill temp (653 MB bf16 at B=32 Lp=319)
+        last_logits = self.lm.logits(last_hidden)
         return (last_logits, hidden, caches, spliced_ids, prompt_len,
                 last_hidden)
 

@@ -146,9 +146,11 @@ def _window_kernel(q_ref, k_ref, v_ref, f_ref, o_ref, s_ref, *, scale,
 
     col = jax.lax.broadcasted_iota(jnp.int32, (Fp, Lg), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Fp, Lg), 0)
+    # expansion matrix in the factor dtype (0/1 exact in bf16); the dot
+    # still accumulates f32 via preferred_element_type
     e = jnp.where(
-        row < hq, (col // W == row).astype(jnp.float32),
-        (col % W == row - hq).astype(jnp.float32),
+        row < hq, (col // W == row).astype(f_ref.dtype),
+        (col % W == row - hq).astype(f_ref.dtype),
     )  # (Fp, Lg)
 
     # phase 1: per-row logits (MXU), written to the shared scratch
@@ -210,10 +212,10 @@ def fused_window_attention(q, k, v, rel_pos_h, rel_pos_w, hw,
     # kernel reconstructs the full bias with ONE expansion matmul
     rel_h = jnp.einsum(
         "bnhwc,hkc->bnkhw", r_q, Rh, preferred_element_type=jnp.float32
-    ).reshape(BW, nH, H, L)
+    ).astype(q.dtype).reshape(BW, nH, H, L)
     rel_w = jnp.einsum(
         "bnhwc,wkc->bnkhw", r_q, Rw, preferred_element_type=jnp.float32
-    ).reshape(BW, nH, W, L)
+    ).astype(q.dtype).reshape(BW, nH, W, L)
     factors = jnp.concatenate([rel_h, rel_w], axis=2)  # (BW, nH, Fp, L)
 
     # flatten (window, head) -> one row axis (leading-dim reshape = free)
@@ -288,12 +290,17 @@ def fused_rel_attention(q, k, v, rel_pos_h, rel_pos_w, hw, interpret=False):
     Rh = _rel_tables(rel_pos_h, H).astype(q.dtype)  # (H, H, D)
     Rw = _rel_tables(rel_pos_w, W).astype(q.dtype)
     r_q = q.reshape(B, nH, H, W, D)
+    # factors STORED in the input dtype (f32 accumulation in the MXU via
+    # preferred_element_type, then cast): the f32 forms were the largest
+    # HLO temps of a ViT-H encode -- 2x 512 MB at the 64x64 global grid
+    # with B*V=16 (13B streaming OOM) -- and the kernel upcasts per-tile
+    # anyway. Indicator-expansion reconstruction is exact in bf16.
     rel_h = jnp.einsum(
         "bnhwc,hkc->bnkhw", r_q, Rh, preferred_element_type=jnp.float32
-    )  # (B,nH,Hk,H,W)
+    ).astype(q.dtype)  # (B,nH,Hk,H,W)
     rel_w = jnp.einsum(
         "bnhwc,wkc->bnhwk", r_q, Rw, preferred_element_type=jnp.float32
-    )  # (B,nH,H,W,Wk)
+    ).astype(q.dtype)  # (B,nH,H,W,Wk)
 
     def grid_pad(x, axis_w):
         return _pad_to(x, Wp, axis_w)

@@ -264,19 +264,29 @@ def convert_sam(sd: Dict, config) -> Dict:
 def resize_token_tables(params: Dict, new_vocab: int, seed: int = 0) -> Dict:
     """Grow embed_tokens/lm_head for added seg tokens; new rows initialized
     to the mean embedding (HF resize_token_embeddings semantics, used after
-    add_new_tokens -- reference train.py:314)."""
+    add_new_tokens -- reference train.py:314).
+
+    Tables grow to ``LlamaConfig.padded_vocab_size`` (next multiple of 128
+    past ``new_vocab``) so vocab shards over the TP mesh axis; rows past
+    ``new_vocab`` are zero and masked out by ``LlamaForCausalLM.logits``.
+    """
+    padded = -(-new_vocab // 128) * 128  # keep = LlamaConfig.padded_vocab_size
     emb = params["model"]["embed_tokens"]["embedding"]
     old, dim = emb.shape
-    if new_vocab <= old:
+    if padded <= old:
         return params
     mean = emb.mean(axis=0, keepdims=True)
+    n_real = max(new_vocab - old, 0)
     params["model"]["embed_tokens"]["embedding"] = np.concatenate(
-        [emb, np.repeat(mean, new_vocab - old, axis=0)], axis=0
+        [emb, np.repeat(mean, n_real, axis=0),
+         np.zeros((padded - old - n_real, dim), emb.dtype)], axis=0
     )
     head = params["lm_head"]["kernel"]  # (hidden, vocab)
     mean_h = head.mean(axis=1, keepdims=True)
     params["lm_head"]["kernel"] = np.concatenate(
-        [head, np.repeat(mean_h, new_vocab - old, axis=1)], axis=1
+        [head, np.repeat(mean_h, n_real, axis=1),
+         np.zeros((head.shape[0], padded - old - n_real), head.dtype)],
+        axis=1,
     )
     return params
 
@@ -367,6 +377,7 @@ def cast_serving_params(params: Dict, dtype) -> Dict:
     quantization scales (``kernel_scale``/``scale``, which must stay f32
     for accumulation accuracy) are left untouched.
     """
+    import flax.linen as nn
     import jax
     import jax.numpy as jnp
 
@@ -375,6 +386,11 @@ def cast_serving_params(params: Dict, dtype) -> Dict:
             if set(node) == {"q", "scale"}:  # quantized-kernel dict
                 return node
             return {k: walk(k, v) for k, v in node.items()}
+        # logical-partitioning boxes hide the array behind .value: unwrap,
+        # cast, rebox (the un-unwrapped f32 embed_tokens table alone was
+        # 625 MiB of arguments + a 312 MiB convert temp per use at 13B)
+        if isinstance(node, nn.meta.AxisMetadata):
+            return node.replace_boxed(walk(name, node.unbox()))
         # 'kernel_scale' is an Int8Dense quantization scale (stays f32);
         # a bare 'scale' here is a LayerNorm/RMSNorm gain and casts fine
         if (

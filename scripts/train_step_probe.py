@@ -1,0 +1,132 @@
+"""Real-shape train-step timing on ONE TPU chip (VERDICT r3 #7).
+
+The reference trains LISA-13B with DeepSpeed ZeRO-2 at bs 8/GPU
+(/root/reference/train.py:254,356-389; run_train.sh:15). This probe times
+OUR pjit train step (train/train_step.py) at reference shapes -- LoRA r=8
+on q/v, frozen towers, 4 views of 1024px SAM input, 512 spliced tokens,
+1024^2 GT masks, full focal+dice+3D-lift losses -- on whatever fits one
+v5e chip, so the utils/memory.py training budget table carries at least
+one measured point.
+
+Per the budget table (README), 7B bf16 LoRA fits a single chip only at
+B<=2; B=8 rides grad-accum (the reference's own mechanism, train.py:518).
+
+  PROBE_LLAMA=7b PROBE_B=2 PROBE_ACCUM=4 python scripts/train_step_probe.py
+
+prints one JSON line: ms/step (median of PROBE_REPEATS windows),
+images/sec, and the per-chip budget prediction next to the measurement.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(*a):
+    print("[probe]", *a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh
+
+    from interactvlm_tpu import config as cfgs
+    from interactvlm_tpu.models.interactvlm import InteractVLM
+    from interactvlm_tpu.runtime.hostmem import tune_host_allocator
+    from interactvlm_tpu.train.train_step import (
+        create_sharded_state,
+        make_train_step,
+    )
+    from interactvlm_tpu.utils.memory import training_budget
+    from interactvlm_tpu.utils.testing import make_synthetic_batch
+
+    tune_host_allocator()
+    size = os.environ.get("PROBE_LLAMA", "7b")
+    B = int(os.environ.get("PROBE_B", "2"))
+    accum = int(os.environ.get("PROBE_ACCUM", "1"))
+    V = int(os.environ.get("PROBE_VIEWS", "4"))
+    L_TEXT = int(os.environ.get("PROBE_TEXT", "257"))  # spliced: +255 = 512
+    mask_size = int(os.environ.get("PROBE_MASK", "1024"))
+    repeats = int(os.environ.get("PROBE_REPEATS", "3"))
+    steps_per_window = int(os.environ.get("PROBE_STEPS", "2"))
+
+    if size == "tiny":  # CPU smoke of this probe itself
+        dtype = jnp.float32
+        cfg = cfgs.interactvlm_tiny(llama=cfgs.llama_tiny(lora_rank=4))
+        lcfg = cfg.llama
+    else:
+        dtype = jnp.bfloat16
+        lc = {"7b": cfgs.llama_7b, "13b": cfgs.llama_13b}[size]
+        lcfg = lc(dtype=dtype, lora_rank=8, lora_alpha=16)
+        cfg = cfgs.InteractVLMConfig(
+            llama=lcfg,
+            clip=cfgs.clip_vit_l_14(dtype=dtype),
+            sam=cfgs.sam_vit_h(dtype=dtype),
+            seg_token_idx=min(lcfg.vocab_size - 1, 32000),
+            img_emb_len=cfgs.clip_vit_l_14().num_patches - 1,
+            multiview_channels=V,
+            out_dim=256,
+        )
+    bud = training_budget(cfg, batch=B, views=V, seq_len=L_TEXT + 255)
+    log(f"{size} LoRA B={B} accum={accum} seq={L_TEXT + 255} "
+        f"budget={bud.total / 2**30:.2f} GiB fits={bud.fits()}")
+
+    model = InteractVLM(cfg)
+    micro = make_synthetic_batch(cfg, B=B, L=L_TEXT, tasks=(2,),
+                                 mask_size=mask_size)
+    batch = micro
+    if accum > 1:
+        batch = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (accum,) + x.shape), micro
+        )
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+    tx = optax.adamw(3e-4, weight_decay=0.0)
+    t0 = time.perf_counter()
+    with mesh:
+        state, shardings = create_sharded_state(model, tx, micro, mesh)
+        log(f"state init {time.perf_counter() - t0:.1f}s")
+        step_fn = make_train_step(model, tx, mesh, shardings,
+                                  batch, accum_steps=accum)
+
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch)
+        loss = float(np.asarray(jax.device_get(metrics["loss"])))
+        log(f"compile+step0 {time.perf_counter() - t0:.1f}s loss={loss:.4f}")
+        assert np.isfinite(loss)
+
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(steps_per_window):
+                state, metrics = step_fn(state, batch)
+            loss = float(np.asarray(jax.device_get(metrics["loss"])))
+            assert np.isfinite(loss)
+            times.append((time.perf_counter() - t0) / steps_per_window)
+
+    ms = float(np.median(times)) * 1e3
+    eff_b = B * accum
+    print(json.dumps({
+        "metric": f"train_step_ms_llama{size}_lora{lcfg.lora_rank}_"
+                  f"b{B}x{accum}_{V}view_seq{L_TEXT + 255}_mask{mask_size}",
+        "value": round(ms, 1),
+        "unit": "ms/step",
+        "spread_ms": [round(min(times) * 1e3, 1),
+                      round(max(times) * 1e3, 1)],
+        "images_per_sec": round(eff_b / (ms / 1e3), 3),
+        "budget_gib": round(bud.total / 2**30, 2),
+        "budget_fits": bud.fits(),
+        "final_loss": round(loss, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,3 +54,23 @@ def test_fused_window_attention_matches_reference(H, W, D, nH):
     got = fused_window_attention(q, k, v, rh, rw, (H, W), interpret=True)
     err = np.abs(np.asarray(got) - np.asarray(want)).max()
     assert err < 2e-3, err
+
+
+@pytest.mark.parametrize("fn", [fused_rel_attention, fused_window_attention])
+def test_bf16_bias_factors_parity(fn):
+    """bf16 inputs store the rel-pos bias factors in bf16 (the f32 forms
+    were the largest HLO temps of a ViT-H encode: 2x 512 MB at the global
+    grid). The output must stay within bf16-level error of the f32 path."""
+    H, W, D, nH, B = 8, 8, 64, 2, 2
+    L = H * W
+    q, k, v = (
+        jax.random.normal(jax.random.PRNGKey(i), (B, nH, L, D), jnp.float32)
+        for i in range(3)
+    )
+    rh = jax.random.normal(jax.random.PRNGKey(3), (2 * H - 1, D)) * 0.5
+    rw = jax.random.normal(jax.random.PRNGKey(4), (2 * W - 1, D)) * 0.5
+    want = fn(q, k, v, rh, rw, (H, W), interpret=True)
+    got = fn(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+             v.astype(jnp.bfloat16), rh, rw, (H, W), interpret=True)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want)).max()
+    assert err < 5e-2, err

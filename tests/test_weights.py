@@ -52,13 +52,17 @@ class TestLlamaParity:
         hf, ours, params = models
         p = jax.tree.map(np.copy, params["params"])
         p = resize_token_tables(p, 515)
-        assert p["model"]["embed_tokens"]["embedding"].shape == (515, 64)
-        assert p["lm_head"]["kernel"].shape == (64, 515)
-        # new rows = mean of old
+        # tables grow to the next multiple of 128 (640) so the vocab axis
+        # shards over the TP mesh; rows past 515 are zero + logits-masked
+        assert p["model"]["embed_tokens"]["embedding"].shape == (640, 64)
+        assert p["lm_head"]["kernel"].shape == (64, 640)
+        # new REAL rows (512:515) = mean of old; pad rows (515:) = zero
         mean = params["params"]["model"]["embed_tokens"]["embedding"].mean(0)
         assert np.allclose(
             p["model"]["embed_tokens"]["embedding"][514], mean, atol=1e-6
         )
+        assert (p["model"]["embed_tokens"]["embedding"][515:] == 0).all()
+        assert (p["lm_head"]["kernel"][:, 515:] == 0).all()
 
 
 def test_merge_lora_matches_adapter_forward():
