@@ -20,6 +20,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from interactvlm_tpu.data.tokenization import tokenize_conversations
+from interactvlm_tpu.geometry.lift import corner_major
 
 TASK_IDS = {
     "vqa": 0,
@@ -152,6 +153,11 @@ def collate(
         "gt_oafford": gt_oa,
     }
     if include_maps and human_maps is not None:
+        # device-side lifts take corner-major (3, V, H, W) maps -- a
+        # trailing dim of 3 tile-pads 42.7x in TPU HBM. Maps are converted
+        # ONCE at load (train._load_human_maps / geometry.lift.corner_major),
+        # not here, because eval also consumes the dict directly.
+        assert human_maps["p2v"].shape[0] == 3, human_maps["p2v"].shape
         batch["human_p2v"] = human_maps["p2v"]
         batch["human_bary"] = human_maps["bary"]
     if include_object_maps:
@@ -185,7 +191,9 @@ def collate(
                 n = int(s.num_valid_verts) or v.size
                 valid_verts[i, : min(n, max_object_vertices)] = 1.0
         batch.update(
-            obj_p2p=obj_p2p, obj_p2v=obj_p2v, obj_bary=obj_bary,
+            obj_p2p=obj_p2p,
+            obj_p2v=corner_major(obj_p2v),   # (3, B, V, H, W)
+            obj_bary=corner_major(obj_bary),
             obj_valid_verts=valid_verts, gt_ocontact=gt_oc,
         )
 
@@ -281,6 +289,7 @@ def _collate_multiconv(
         "gt_oafford": gt_oa,
     }
     if include_maps and human_maps is not None:
+        assert human_maps["p2v"].shape[0] == 3, human_maps["p2v"].shape
         batch["human_p2v"] = human_maps["p2v"]
         batch["human_bary"] = human_maps["bary"]
 

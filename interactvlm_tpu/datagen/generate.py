@@ -153,7 +153,12 @@ def verify_contact_reconstruction(
     N = contact_mask.shape[0]
     logits = jnp.where(jnp.asarray(masks), 20.0, -20.0)
     lifted = np.asarray(
-        lift_multiview_soft(logits, jnp.asarray(p2v), jnp.asarray(bary), N)
+        lift_multiview_soft(
+            logits,
+            jnp.asarray(np.moveaxis(np.asarray(p2v), -1, 0)),
+            jnp.asarray(np.moveaxis(np.asarray(bary), -1, 0)),
+            N,
+        )
     )
     recon = set(np.where(lifted > threshold)[0])
     visible = set(np.unique(np.asarray(p2v)[np.asarray(p2v) >= 0]))

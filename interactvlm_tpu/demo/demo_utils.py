@@ -116,11 +116,16 @@ def generate_sam_inp_objs(
 
 
 def load_lift2d_dict(path: str) -> Dict:
+    """Load the pickled lift maps as corner-major (3, V, H, W) device
+    arrays (geometry.lift.corner_major — trailing-3 pads 42.7x on TPU)."""
+    from interactvlm_tpu.geometry.lift import corner_major
+
     with open(path, "rb") as f:
         d = pickle.load(f)
     return {
-        "p2v": jnp.asarray(np.stack(d["pixel_to_vertices_map"])),
-        "bary": jnp.asarray(np.stack(d["bary_coords_map"])),
+        "p2v": jnp.asarray(
+            corner_major(np.stack(d["pixel_to_vertices_map"]))),
+        "bary": jnp.asarray(corner_major(np.stack(d["bary_coords_map"]))),
         "num_vertices": int(d["num_vertices"]),
     }
 

@@ -164,9 +164,11 @@ def main(argv=None):
             sam_views = np.stack(views)[None]
         if args.human_maps:
             m = np.load(args.human_maps)
+            from interactvlm_tpu.geometry.lift import corner_major
+
             human_maps = {
-                "p2v": jnp.asarray(m["p2v"]),
-                "bary": jnp.asarray(m["bary"]),
+                "p2v": jnp.asarray(corner_major(np.asarray(m["p2v"]))),
+                "bary": jnp.asarray(corner_major(np.asarray(m["bary"]))),
                 "num_vertices": int(m["p2v"].max()) + 1,
             }
 

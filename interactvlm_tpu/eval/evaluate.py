@@ -187,8 +187,10 @@ def evaluate_batch(
         )
 
         n_out = batch["gt_ocontact"].shape[1]
+        # per-sample corner-major maps (3, B, V, H, W): vmap over B = axis 1
         pred_contact_3d = jax.vmap(
-            lambda m, p, b: lift_multiview_thresholded(m, p, b, n_out)
+            lambda m, p, b: lift_multiview_thresholded(m, p, b, n_out),
+            in_axes=(0, 1, 1),
         )(pred_masks, batch["obj_p2v"], batch["obj_bary"])
     elif object_maps is not None:
         # demo path: one shared lift2d dict for the object
@@ -278,7 +280,8 @@ def _evaluate_batch_multiseg(
             n_out = (batch["gt_ocontact"].shape[1]
                      if "gt_ocontact" in batch else cfg.num_object_points)
             pred_o3d = np.asarray(jax.vmap(
-                lambda m, p, b: lift_multiview_thresholded(m, p, b, n_out)
+                lambda m, p, b: lift_multiview_thresholded(m, p, b, n_out),
+                in_axes=(0, 1, 1),
             )(masks_o, batch["obj_p2v"], batch["obj_bary"]))
         elif object_maps is not None:
             pred_o3d = np.asarray(lift_object(
@@ -463,7 +466,8 @@ def validate(
                 pred_3d = np.asarray(jax.vmap(
                     lambda m, p, b: lift_multiview_thresholded(
                         m, p, b, n_out
-                    )
+                    ),
+                    in_axes=(0, 1, 1),
                 )(jnp.asarray(pred_masks), batch["obj_p2v"],
                   batch["obj_bary"]))
 

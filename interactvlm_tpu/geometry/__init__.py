@@ -17,6 +17,7 @@ from interactvlm_tpu.geometry.rasterizer import (  # noqa: F401
     contact_mask_from_fragments,
 )
 from interactvlm_tpu.geometry.lift import (  # noqa: F401
+    corner_major,
     lift_multiview_soft,
     lift_multiview_thresholded,
     lift_multiview_points,

@@ -52,26 +52,45 @@ def _per_view_normalized_scatter(values, weights, ids, num_views, num_vertices):
     return out, view_count
 
 
-def _flat_ids_and_weights(p2v, bary, num_views, num_vertices, select):
-    """Flatten (V, H, W, 3) maps into candidate streams.
+def corner_major(arr):
+    """Move a trailing barycentric-corner axis to the front:
+    (..., H, W, 3) -> (3, ..., H, W).
+
+    TPU HBM layouts tile the two MINOR dims to (8, 128); a trailing dim of
+    3 therefore pads 42.7x (a (4, 1024, 1024, 3) f32 map costs 2 GiB
+    instead of 48 MiB — measured OOM in the 7B train step). All device-side
+    lift code takes corner-major maps; host-side producers (rasterizer,
+    ``build_gather_maps``) keep the conventional trailing layout and
+    convert at the jit boundary with this helper.
+    """
+    import numpy as np
+
+    if isinstance(arr, np.ndarray):
+        return np.ascontiguousarray(np.moveaxis(arr, -1, 0))
+    return jnp.moveaxis(arr, -1, 0)
+
+
+def _flat_ids_and_weights(p2v3, bary3, num_views, num_vertices, select):
+    """Flatten corner-major (3, V, H, W) maps into candidate streams.
 
     ``select``: (V, H, W) float multiplier on the weights (validity and/or
     threshold selection).
     """
-    valid = jnp.all((p2v >= 0) & (p2v < num_vertices), axis=-1)  # (V, H, W)
-    sel = valid.astype(bary.dtype) * select
-    view_idx = jax.lax.broadcasted_iota(jnp.int32, p2v.shape, 0)
+    assert p2v3.shape[0] == 3 and p2v3.ndim == 4, p2v3.shape
+    valid = jnp.all((p2v3 >= 0) & (p2v3 < num_vertices), axis=0)  # (V, H, W)
+    sel = valid.astype(bary3.dtype) * select
+    view_idx = jax.lax.broadcasted_iota(jnp.int32, p2v3.shape, 1)
     ids = jnp.where(
-        (valid & (select > 0))[..., None],
-        view_idx * num_vertices + jnp.clip(p2v, 0, num_vertices - 1),
+        (valid & (select > 0))[None],
+        view_idx * num_vertices + jnp.clip(p2v3, 0, num_vertices - 1),
         num_views * num_vertices,
     )
-    weights = bary * sel[..., None]
+    weights = bary3 * sel[None]
     return ids.reshape(-1), weights.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("num_vertices",))
-def lift_multiview_soft(logits, p2v, bary, num_vertices: int):
+def lift_multiview_soft(logits, p2v3, bary3, num_vertices: int):
     """Soft multi-view lift for fixed-topology meshes (SMPL body).
 
     Reference semantics (``components.py:220-277``): per view,
@@ -82,24 +101,25 @@ def lift_multiview_soft(logits, p2v, bary, num_vertices: int):
 
     Args:
       logits: (V, H, W) mask logits.
-      p2v: (V, H, W, 3) int32 pixel->vertex map (-1 invalid).
-      bary: (V, H, W, 3) barycentric weights.
+      p2v3: (3, V, H, W) int32 corner-major pixel->vertex map (-1 invalid;
+        see ``corner_major`` for why the corner axis leads on device).
+      bary3: (3, V, H, W) barycentric weights.
     Returns: (num_vertices,) contact probabilities in [0, 1].
     """
     V = logits.shape[0]
     probs = jax.nn.sigmoid(jnp.clip(logits.astype(jnp.float32), -20.0, 20.0))
     ids, weights = _flat_ids_and_weights(
-        p2v, bary.astype(jnp.float32), V, num_vertices,
+        p2v3, bary3.astype(jnp.float32), V, num_vertices,
         jnp.ones_like(probs),
     )
-    values = jnp.broadcast_to(probs[..., None], p2v.shape).reshape(-1)
+    values = jnp.broadcast_to(probs[None], p2v3.shape).reshape(-1)
     out, _ = _per_view_normalized_scatter(values, weights, ids, V, num_vertices)
     return jnp.clip(out, 0.0, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_vertices",))
 def lift_multiview_thresholded(
-    logits, p2v, bary, num_vertices: int, threshold: float = 0.3
+    logits, p2v3, bary3, num_vertices: int, threshold: float = 0.3
 ):
     """Thresholded lift for arbitrary object meshes.
 
@@ -107,15 +127,15 @@ def lift_multiview_thresholded(
     ``sigmoid(logit) > threshold`` scatter their probability with barycentric
     weights; per-view normalize by scattered weight; average over views that
     saw the vertex. The hard selection carries no gradient (the reference
-    boolean-indexes); probabilities do.
+    boolean-indexes); probabilities do. Maps are corner-major (3, V, H, W).
     """
     V = logits.shape[0]
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))
     sel = jax.lax.stop_gradient((probs > threshold).astype(jnp.float32))
     ids, weights = _flat_ids_and_weights(
-        p2v, bary.astype(jnp.float32), V, num_vertices, sel
+        p2v3, bary3.astype(jnp.float32), V, num_vertices, sel
     )
-    values = jnp.broadcast_to(probs[..., None], p2v.shape).reshape(-1)
+    values = jnp.broadcast_to(probs[None], p2v3.shape).reshape(-1)
     out, _ = _per_view_normalized_scatter(values, weights, ids, V, num_vertices)
     return out
 
@@ -148,18 +168,98 @@ def lift_multiview_points(values, p2p, num_points: int):
     return out
 
 
-def lift_batch_soft(logits, p2v, bary, num_vertices: int, active=None):
-    """Batched soft lift: (B, V, H, W) -> (B, N).
+def _batched_normalized_scatter(values, weights, ids, B, num_views,
+                                num_vertices):
+    """One rank-1 ``segment_sum`` over ``B * V * N`` segments.
+
+    ``values``/``weights``/``ids``: (B, K) candidate streams whose ids are
+    per-SAMPLE (dump slot ``V * N``). vmapping ``segment_sum`` over the
+    batch instead makes XLA batch the scatter, and its layout assignment
+    then puts the tiny batch dim MINOR on the (B, K) streams — tile-padded
+    2 -> 128, a measured 64x / 6 GiB blow-up in the 7B train step. Folding
+    the batch into the segment id keeps every operand rank-1.
+    """
+    VN = num_views * num_vertices
+    base = jnp.arange(B, dtype=jnp.int32)[:, None] * VN
+    bids = jnp.where(ids == VN, B * VN, ids + base).reshape(-1)
+    n_seg = B * VN + 1
+    votes = jax.ops.segment_sum(
+        (weights * values).reshape(-1), bids, num_segments=n_seg)
+    wsum = jax.ops.segment_sum(weights.reshape(-1), bids, num_segments=n_seg)
+    votes = votes[:-1].reshape(B, num_views, num_vertices)
+    wsum = wsum[:-1].reshape(B, num_views, num_vertices)
+
+    seen = wsum > 0
+    view_vote = jnp.where(seen, votes / jnp.where(seen, wsum, 1.0), 0.0)
+    view_count = seen.sum(axis=1).astype(votes.dtype)  # (B, N)
+    total = view_vote.sum(axis=1)
+    return jnp.where(view_count > 0,
+                     total / jnp.where(view_count > 0, view_count, 1.0),
+                     0.0)
+
+
+def lift_batch_soft(logits, p2v3, bary3, num_vertices: int, active=None):
+    """Batched soft lift: (B, V, H, W) -> (B, N). Maps corner-major,
+    shared across the batch (the fixed canonical view-set).
 
     ``active``: optional (B,) bool -- samples whose dataset is not an
     hcontact task contribute zeros (reference components.py:229-231).
     """
-    out = jax.vmap(lambda lg: lift_multiview_soft(lg, p2v, bary, num_vertices))(
-        logits
+    B, V = logits.shape[:2]
+    probs = jax.nn.sigmoid(jnp.clip(logits.astype(jnp.float32), -20.0, 20.0))
+    ids, weights = _flat_ids_and_weights(
+        p2v3, bary3.astype(jnp.float32), V, num_vertices,
+        jnp.ones(logits.shape[1:], jnp.float32),
+    )  # shared (K,) streams
+    values = jnp.broadcast_to(
+        probs[:, None], (B, 3) + probs.shape[1:]
+    ).reshape(B, -1)
+    out = _batched_normalized_scatter(
+        values, jnp.broadcast_to(weights[None], values.shape),
+        jnp.broadcast_to(ids[None], values.shape), B, V, num_vertices,
     )
+    out = jnp.clip(out, 0.0, 1.0)
     if active is not None:
         out = jnp.where(active[:, None], out, 0.0)
     return out
+
+
+def lift_batch_thresholded(logits, p2v3, bary3, num_vertices: int,
+                           threshold: float = 0.3):
+    """Batched thresholded lift with PER-SAMPLE corner-major maps
+    (3, B, V, H, W) -> (B, N); one rank-1 scatter (see
+    ``_batched_normalized_scatter``)."""
+    B, V = logits.shape[:2]
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    sel = jax.lax.stop_gradient((probs > threshold).astype(jnp.float32))
+    ids, weights = jax.vmap(
+        lambda p, b, s: _flat_ids_and_weights(
+            p, b.astype(jnp.float32), V, num_vertices, s),
+        in_axes=(1, 1, 0),
+    )(p2v3, bary3, sel)  # (B, K) each
+    values = jnp.broadcast_to(
+        probs[:, None], (B, 3) + probs.shape[1:]
+    ).reshape(B, -1)
+    return _batched_normalized_scatter(values, weights, ids, B, V,
+                                       num_vertices)
+
+
+def lift_batch_points(values, p2p, num_points: int):
+    """Batched point-cloud lift: (B, V, H, W) values + per-sample maps
+    -> (B, P); one rank-1 scatter (see ``_batched_normalized_scatter``)."""
+    B, V = values.shape[:2]
+    valid = (p2p >= 0) & (p2p < num_points)
+    view_idx = jax.lax.broadcasted_iota(jnp.int32, p2p.shape, 1)
+    ids = jnp.where(
+        valid,
+        view_idx * num_points + jnp.clip(p2p, 0, num_points - 1),
+        V * num_points,
+    ).reshape(B, -1)
+    weights = valid.astype(jnp.float32).reshape(B, -1)
+    return _batched_normalized_scatter(
+        values.astype(jnp.float32).reshape(B, -1), weights, ids,
+        B, V, num_points,
+    )
 
 
 # --- gather-form lift (TPU fast path) --------------------------------------

@@ -433,14 +433,17 @@ class InteractVLM(nn.Module):
         return self.upsample_masks(low_res, mask_size)
 
 
-def lift_human(pred_masks, p2v, bary, num_vertices: int):
-    """(B, V, H, W) logits -> (B, N) contact probs (evaluate path)."""
-    return jax.vmap(lambda m: lift_multiview_soft(m, p2v, bary, num_vertices))(
-        pred_masks
-    )
-
-
-def lift_object(pred_masks, p2v, bary, num_vertices: int, threshold=0.3):
+def lift_human(pred_masks, p2v3, bary3, num_vertices: int):
+    """(B, V, H, W) logits -> (B, N) contact probs (evaluate path).
+    Maps are corner-major (3, V, H, W), shared across the batch."""
     return jax.vmap(
-        lambda m: lift_multiview_thresholded(m, p2v, bary, num_vertices, threshold)
+        lambda m: lift_multiview_soft(m, p2v3, bary3, num_vertices)
+    )(pred_masks)
+
+
+def lift_object(pred_masks, p2v3, bary3, num_vertices: int, threshold=0.3):
+    """Shared corner-major (3, V, H, W) maps (demo object path)."""
+    return jax.vmap(
+        lambda m: lift_multiview_thresholded(
+            m, p2v3, bary3, num_vertices, threshold)
     )(pred_masks)

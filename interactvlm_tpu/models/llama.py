@@ -125,10 +125,12 @@ class LoraDense(nn.Module):
     rank: int
     alpha: float
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False  # QLoRA: frozen int8 base, bf16 adapters
 
     @nn.compact
     def __call__(self, x):
-        y = _dense(self.features, self.axes, "base", self.dtype)(x)
+        y = _dense(self.features, self.axes, "base", self.dtype,
+                   int8=self.int8)(x)
         if self.rank > 0:
             a = self.param(
                 "lora_a",
@@ -206,14 +208,17 @@ class LlamaAttention(nn.Module):
         nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
         if cfg.lora_rank > 0:
-            assert not cfg.weights_int8, "LoRA trains bf16; merge before int8"
+            # weights_int8 + lora_rank is the QLoRA training mode: the
+            # frozen base runs int8 (STE activation grads, ops/quant.py)
+            # while the bf16 adapters train -- this is what fits a 7B
+            # LoRA train step on one 16 GB v5e chip (utils/memory.py).
             q = LoraDense(
                 nh * d, ("embed", "heads"), cfg.lora_rank, cfg.lora_alpha,
-                cfg.dtype, name="q_proj",
+                cfg.dtype, int8=cfg.weights_int8, name="q_proj",
             )(x)
             v = LoraDense(
                 nkv * d, ("embed", "kv_heads"), cfg.lora_rank, cfg.lora_alpha,
-                cfg.dtype, name="v_proj",
+                cfg.dtype, int8=cfg.weights_int8, name="v_proj",
             )(x)
         else:
             q = _dense(nh * d, ("embed", "heads"), "q_proj", cfg.dtype,
@@ -462,12 +467,17 @@ class LlamaForCausalLM(nn.Module):
 
     def setup(self):
         self.model = LlamaModel(self.config)
+        # QLoRA training (lora_rank>0) keeps lm_head in the compute dtype:
+        # it is TRAINABLE under the reference freeze policy
+        # (/root/reference/train.py:316-322 -- new [SEG] token rows must
+        # learn), and an int8 param cannot take Adam updates. Pure int8
+        # serving (lora merged, rank 0) keeps the int8 head.
         self.lm_head = _dense(
             self.config.padded_vocab_size,
             ("embed", "vocab"),
             "lm_head",
             self.config.dtype,
-            int8=self.config.weights_int8,
+            int8=self.config.weights_int8 and self.config.lora_rank == 0,
         )
 
     def logits(self, h):

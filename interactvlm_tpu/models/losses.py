@@ -22,9 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from interactvlm_tpu.geometry.lift import (
-    lift_multiview_soft,
-    lift_multiview_thresholded,
-    lift_multiview_points,
+    lift_batch_points,
+    lift_batch_soft,
+    lift_batch_thresholded,
 )
 
 IGNORE_LABEL = -1.0
@@ -110,14 +110,13 @@ def _elementwise_focal(probs, targets, alpha, gamma):
 
 
 def human_contact_3d_loss(
-    pred_masks, gt_contact, p2v, bary, is_h, num_vertices: int,
+    pred_masks, gt_contact, p2v3, bary3, is_h, num_vertices: int,
     alpha: float = 0.25, gamma: float = 2.0, sparsity_weight: float = 0.01,
 ):
     """Focal BCE on the soft multi-view lift + sparsity
-    (reference losses.py:203-234). Returns scalar."""
-    lifted = jax.vmap(
-        lambda lg: lift_multiview_soft(lg, p2v, bary, num_vertices)
-    )(pred_masks)  # (B, N)
+    (reference losses.py:203-234). Maps corner-major (3, V, H, W) — see
+    ``geometry.lift.corner_major``. Returns scalar."""
+    lifted = lift_batch_soft(pred_masks, p2v3, bary3, num_vertices)  # (B, N)
     focal = _elementwise_focal(lifted, gt_contact, alpha, gamma)
     w = is_h.astype(jnp.float32)[:, None]
     focal_mean = _safe_mean(focal, jnp.broadcast_to(w, focal.shape))
@@ -129,20 +128,19 @@ def human_contact_3d_loss(
 
 
 def object_contact_3d_loss(
-    pred_masks, gt_contact, p2v, bary, valid_verts, is_oc,
+    pred_masks, gt_contact, p2v3, bary3, valid_verts, is_oc,
     alpha: float = 0.25, gamma: float = 2.0, sparsity_weight: float = 0.01,
     threshold: float = 0.3,
 ):
     """Per-sample focal BCE on the thresholded object-mesh lift
-    (reference losses.py:236-281). p2v/bary are per-sample (B, V, H, W, 3);
-    valid_verts (B, Nmax) masks each sample's real vertex count."""
+    (reference losses.py:236-281). p2v3/bary3 are per-sample corner-major
+    (3, B, V, H, W); valid_verts (B, Nmax) masks each sample's real vertex
+    count."""
     B = pred_masks.shape[0]
     n_max = gt_contact.shape[1]
-
-    def one(lg, pv, br):
-        return lift_multiview_thresholded(lg, pv, br, n_max, threshold)
-
-    lifted = jax.vmap(one)(pred_masks, p2v, bary)  # (B, Nmax)
+    lifted = lift_batch_thresholded(
+        pred_masks, p2v3, bary3, n_max, threshold
+    )  # (B, Nmax)
     vv = valid_verts.astype(jnp.float32)
     # reference skips samples with empty predictions
     nonempty = jnp.sum(lifted * vv, axis=1) > 0
@@ -163,9 +161,7 @@ def object_afford_3d_loss(
     (reference losses.py:284-341): focal CE + dual dice + 0.8*MSE + 0.4*L1,
     CE*0.5 and dice*0.3."""
     num_points = gt_afford.shape[1]
-    lifted = jax.vmap(
-        lambda v, m: lift_multiview_points(v, m, num_points)
-    )(pred_values, p2p)  # (B, P)
+    lifted = lift_batch_points(pred_values, p2p, num_points)  # (B, P)
     p = jnp.clip(lifted, 1e-6, 1 - 1e-6)
     w = is_oa.astype(jnp.float32)
     wb = w[:, None]

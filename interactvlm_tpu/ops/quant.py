@@ -8,6 +8,7 @@ int8 matmuls hit the MXU's int8 path via ``preferred_element_type=int32``.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -29,18 +30,58 @@ def dequantize_int8(q, scale, dtype=jnp.float32):
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
-def int8_matmul(x, w_q, w_scale, dtype=jnp.bfloat16):
-    """x (…, K) @ int8 W (K, N) with per-output-channel scales (1, N).
-
-    The activation is quantized per-row so the contraction runs int8xint8
-    on the MXU and is rescaled once.
-    """
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _int8_matmul_core(x, w_q, w_scale, x_dtype_name):
     x_q, x_scale = quantize_int8(x, axis=-1)
     acc = jax.lax.dot_general(
         x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return (acc.astype(jnp.float32) * x_scale * w_scale).astype(dtype)
+    return acc.astype(jnp.float32) * x_scale * w_scale
+
+
+def _int8_matmul_fwd(x, w_q, w_scale, x_dtype_name):
+    return _int8_matmul_core(x, w_q, w_scale, x_dtype_name), (w_q, w_scale)
+
+
+def _int8_matmul_bwd(x_dtype_name, res, g):
+    """Straight-through activation gradient (QLoRA-style training on a
+    frozen int8 base): d/dx of x @ dequant(W) = g @ (W_q * scale)^T, with
+    the per-output-channel scale folded into g so no dequantized weight
+    copy is ever materialized. The weight cotangents are zero -- the base
+    is frozen by the optimizer mask and routed around autodiff by the
+    train step's stop-gradient closure (train/train_step.py)."""
+    import numpy as np
+
+    w_q, w_scale = res
+    gs = (g * w_scale).astype(jnp.bfloat16)
+    dx = jax.lax.dot_general(
+        gs, w_q.astype(jnp.bfloat16),
+        (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (
+        dx.astype(x_dtype_name),
+        np.zeros(w_q.shape, jax.dtypes.float0),
+        jnp.zeros_like(w_scale),
+    )
+
+
+_int8_matmul_core.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+def int8_matmul(x, w_q, w_scale, dtype=jnp.bfloat16):
+    """x (…, K) @ int8 W (K, N) with per-output-channel scales (1, N).
+
+    The activation is quantized per-row so the contraction runs int8xint8
+    on the MXU and is rescaled once. Differentiable w.r.t. ``x`` via a
+    straight-through estimator (see ``_int8_matmul_bwd``), enabling LoRA
+    training over a frozen int8 base (the reference's bnb role,
+    ``run_demo.py:106-129``, extended to QLoRA-style training).
+    """
+    return _int8_matmul_core(
+        x, w_q, w_scale, jnp.dtype(x.dtype).name
+    ).astype(dtype)
 
 
 def quantize_params_int8(params, filter_fn=None, min_size: int = 2 ** 16):

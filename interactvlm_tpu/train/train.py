@@ -67,6 +67,14 @@ def parse_args(argv=None):
     p.add_argument("--cam_encoder_type", default="simple")
     p.add_argument("--lora_r", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16.0)
+    p.add_argument("--int8_base", action="store_true",
+                   help="QLoRA: freeze the LLaMA base in int8 (STE "
+                        "activation grads, ops/quant.py) while the bf16 "
+                        "LoRA adapters + heads train. The only 7B-LoRA "
+                        "configuration that fits ONE 16 GB v5e chip "
+                        "(utils/memory.training_budget); the reference's "
+                        "bnb-int8 role (run_demo.py:106-129) extended to "
+                        "training.")
     # losses (train.py:100-120)
     p.add_argument("--ce_loss_weight", type=float, default=1.0)
     p.add_argument("--bce_loss_weight", type=float, default=2.0)
@@ -149,7 +157,8 @@ def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
             oC_loss_weight=args.oC_loss_weight,
         )
     else:
-        llama_kw = dict(lora_rank=args.lora_r, lora_alpha=args.lora_alpha)
+        llama_kw = dict(lora_rank=args.lora_r, lora_alpha=args.lora_alpha,
+                        weights_int8=getattr(args, "int8_base", False))
         if vocab_size is not None:
             llama_kw["vocab_size"] = vocab_size
         tok_kw = {}
@@ -195,8 +204,13 @@ def synthetic_batch_iter(cfg, batch_size, mask_size, seed=0):
 def _load_human_maps(dataset_dir):
     """Find the Vitruvian p2v/bary lift maps: either the consolidated
     ``human_lift_maps.npz`` or the datagen tree's
-    ``hcontact_vitruvian_mv2/lift_maps.npz`` (datagen/recipes.py)."""
-    import jax.numpy as jnp
+    ``hcontact_vitruvian_mv2/lift_maps.npz`` (datagen/recipes.py).
+
+    Returns CORNER-MAJOR (3, V, H, W) host arrays -- the device-side lift
+    layout (trailing-3 maps tile-pad 42.7x in TPU HBM; see
+    ``geometry.lift.corner_major``). The on-disk layout stays (V, H, W, 3).
+    """
+    from interactvlm_tpu.geometry.lift import corner_major
 
     for rel in ("human_lift_maps.npz",
                 os.path.join("hcontact_vitruvian_mv2", "lift_maps.npz")):
@@ -204,8 +218,9 @@ def _load_human_maps(dataset_dir):
         if os.path.exists(path):
             maps_npz = np.load(path)
             return {
-                "p2v": jnp.asarray(maps_npz["p2v"]),
-                "bary": jnp.asarray(maps_npz["bary"]),
+                "p2v": corner_major(np.asarray(maps_npz["p2v"], np.int32)),
+                "bary": corner_major(
+                    np.asarray(maps_npz["bary"], np.float32)),
             }
     return None
 

@@ -189,7 +189,20 @@ def make_train_step(
             out = model.apply(merged, batch)
             return out[loss_key], out
 
-        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # allow_int: QLoRA param trees carry frozen int8 kernels; their
+        # cotangents come back as float0 and are rewritten to typed zeros
+        # so the optax freeze group (set_to_zero) and the accumulation
+        # scan see ordinary arrays. XLA folds the add-zero chains away.
+        (_, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True, allow_int=True
+        )(params)
+        grads = jax.tree.map(
+            lambda g, p: (
+                jnp.zeros(p.shape, p.dtype)
+                if g.dtype == jax.dtypes.float0 else g
+            ),
+            grads, params,
+        )
         metrics = {k: v for k, v in out.items() if jnp.ndim(v) == 0}
         return grads, metrics
 

@@ -35,19 +35,31 @@ def llama_param_bytes(cfg, tp: int = 1) -> int:
     attn_params = h * d * (2 * cfg.num_heads + 2 * cfg.num_kv_heads)
     mlp_params = 3 * h * cfg.intermediate_size
     matmul = cfg.num_layers * (attn_params + mlp_params)
-    matmul += h * cfg.vocab_size  # lm_head
+    # QLoRA training (lora_rank>0) keeps the TRAINABLE lm_head in the
+    # compute dtype (models/llama.py setup); pure int8 serving keeps it
+    # int8. LoRA adapters themselves ride the compute dtype.
+    head = h * cfg.vocab_size
+    extra = 0
+    if cfg.lora_rank > 0:
+        extra += cfg.num_layers * 2 * cfg.lora_rank * (
+            h + max(cfg.num_heads, cfg.num_kv_heads) * d
+        ) * _dtype_bytes(cfg.dtype)
+        head_bytes = head * _dtype_bytes(cfg.dtype)
+    else:
+        matmul += head
+        head_bytes = 0
     # per-output-channel f32 scales for the int8 layout
     scale_out = cfg.num_layers * (
         d * (cfg.num_heads + 2 * cfg.num_kv_heads) + h
         + 2 * cfg.intermediate_size + h
-    ) + cfg.vocab_size
+    ) + (cfg.vocab_size if cfg.lora_rank == 0 else 0)
     kernel_bytes = (
         matmul * 1 + scale_out * 4 if cfg.weights_int8
         else matmul * _dtype_bytes(cfg.dtype)
     )
     embed = cfg.vocab_size * h * _dtype_bytes(cfg.dtype)
     norms = (2 * cfg.num_layers + 1) * h * 4  # RMSNorm gains kept f32-ish
-    return (kernel_bytes + norms) // tp + embed
+    return (kernel_bytes + head_bytes + norms + extra) // tp + embed
 
 
 def kv_cache_bytes(cfg, batch: int, max_len: int, kind: str = "int8",
@@ -159,12 +171,16 @@ def serving_budget(cfg, batch: int, max_len: int, views: int,
 def trainable_param_count(cfg) -> int:
     """Trainable parameters under the reference's freeze policy
     (train.py:264-322 + LoRA): LoRA a/b on q/v per layer, text_hidden_fcs,
-    SAM mask decoder(s), cam-pose encoder (+splitter at Gen-Hu-Obj). The
-    LLaMA base, SAM encoder and CLIP tower are frozen."""
+    SAM mask decoder(s), cam-pose encoder (+splitter at Gen-Hu-Obj),
+    AND the token tables -- embed_tokens + lm_head are explicitly marked
+    trainable by the reference (train.py:316-322; the new [SEG] rows must
+    learn) and dominate this count (~0.5 GB of f32 moments EACH at 7B).
+    The LLaMA base matmuls, SAM encoder and CLIP tower are frozen."""
     lc = cfg.llama
     r = max(lc.lora_rank, 1) if lc.lora_rank else 8
     lora = lc.num_layers * 2 * (lc.hidden_size * r
                                 + r * lc.num_heads * lc.head_dim)
+    tables = 2 * lc.padded_vocab_size * lc.hidden_size
     fcs = lc.hidden_size * lc.hidden_size + lc.hidden_size * cfg.out_dim
     d = cfg.sam.prompt_embed_dim
     # two-way decoder blocks + hypernet MLPs + upscale convs
@@ -173,7 +189,7 @@ def trainable_param_count(cfg) -> int:
     cam = 2 * 128 * 128 + cfg.multiview_channels * 128 * cfg.out_dim
     splitter = 5 * 256 * 128 if cfg.base_token_type in (
         "Gen-Hu-Obj", "Gen-Int") else 0
-    return lora + fcs + n_dec * mask_decoder + cam + splitter
+    return lora + tables + fcs + n_dec * mask_decoder + cam + splitter
 
 
 def train_activation_bytes(cfg, batch: int, views: int, seq_len: int,
@@ -219,15 +235,19 @@ def training_budget(cfg, batch: int, views: int, seq_len: int,
     over BOTH axes (train/train_step.py:43-94), remat activations.
 
     The reference trains this scale with DeepSpeed ZeRO-2
-    (/root/reference/train.py:356-389)."""
+    (/root/reference/train.py:356-389). Grads and Adam moments live in
+    the param dtype (optax zeros_like); grads count twice for the
+    accumulation carry of the scan-based microbatch loop
+    (train/train_step.py make_train_step)."""
     t = trainable_param_count(cfg)
+    db = _dtype_bytes(cfg.llama.dtype)
     return ServingBudget({
         "llama_params": llama_param_bytes(cfg.llama, tp=n_model),
         "sam_params": sam_param_bytes(cfg.sam),
         "clip_params": clip_param_bytes(cfg.clip),
         # trainable copy rides inside llama/sam counts; grads are extra
-        "grads": t * 4,
-        "adam_moments": 2 * t * 4 // max(n_data * n_model, 1),
+        "grads": 2 * t * db,
+        "adam_moments": 2 * t * db // max(n_data * n_model, 1),
         "activations": train_activation_bytes(
             cfg, batch, views, seq_len, n_data, n_model, remat
         ),

@@ -137,8 +137,9 @@ def make_synthetic_batch(
             (rng.random((B, Nh)) > 0.8).astype(np.float32)
         ),
         "gt_oafford": jnp.asarray(rng.random((B, P)).astype(np.float32)),
-        "human_p2v": jnp.asarray(p2v),
-        "human_bary": jnp.asarray(bary),
+        # corner-major (3, V, H, W): see geometry/lift.corner_major
+        "human_p2v": jnp.asarray(np.moveaxis(p2v, -1, 0)),
+        "human_bary": jnp.asarray(np.moveaxis(bary, -1, 0)),
         "obj_p2p": jnp.asarray(p2p),
     }
 

@@ -340,6 +340,24 @@ def int8_serving_params(params: Dict, targets=_INT8_TARGETS) -> Dict:
     return walk("", params)
 
 
+# QLoRA training layout: the frozen base kernels (incl. the ``base``
+# sub-module of LoraDense q/v) go int8; lm_head stays in the compute
+# dtype because it is TRAINABLE (reference train.py:316-322), as do the
+# LoRA adapters and embed table.
+_QLORA_INT8_TARGETS = (
+    "k_proj", "o_proj", "gate_proj", "up_proj", "down_proj", "base",
+)
+
+
+def qlora_training_params(params: Dict) -> Dict:
+    """Convert a bf16 LLaMA tree carrying LoRA adapters to the QLoRA
+    training layout consumed by ``LlamaConfig(weights_int8=True,
+    lora_rank>0)``: int8-frozen base kernels, bf16 trainable
+    lm_head/embed/LoRA. See ``ops/quant.int8_matmul`` for the
+    straight-through backward that makes this trainable."""
+    return int8_serving_params(params, targets=_QLORA_INT8_TARGETS)
+
+
 _SAM_INT8_TARGETS = ("qkv", "proj", "lin1", "lin2")
 
 

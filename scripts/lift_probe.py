@@ -76,7 +76,10 @@ def main():
         gidx, gw = build_gather_maps(
             np.asarray(p2v), np.asarray(bary), n_verts, max_k=256
         )
-    p2v, bary = jnp.asarray(p2v), jnp.asarray(bary)
+    from interactvlm_tpu.geometry.lift import corner_major
+
+    p2v = jnp.asarray(corner_major(np.asarray(p2v)))
+    bary = jnp.asarray(corner_major(np.asarray(bary)))
     gidx, gw = jnp.asarray(gidx), jnp.asarray(gw)
     print(f"[lift probe] B={B} V={V} {h}x{w}->{H}x{W} N={n_verts} "
           f"K={gidx.shape[-1]}", file=sys.stderr)

@@ -34,12 +34,12 @@ def log(*a):
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
     from jax.sharding import Mesh
 
     from interactvlm_tpu import config as cfgs
     from interactvlm_tpu.models.interactvlm import InteractVLM
     from interactvlm_tpu.runtime.hostmem import tune_host_allocator
+    from interactvlm_tpu.train.optimizer import make_optimizer, trainable_mask
     from interactvlm_tpu.train.train_step import (
         create_sharded_state,
         make_train_step,
@@ -57,14 +57,21 @@ def main():
     repeats = int(os.environ.get("PROBE_REPEATS", "3"))
     steps_per_window = int(os.environ.get("PROBE_STEPS", "2"))
 
+    int8_base = os.environ.get("PROBE_INT8", "0") == "1"
     if size == "tiny":  # CPU smoke of this probe itself
         dtype = jnp.float32
-        cfg = cfgs.interactvlm_tiny(llama=cfgs.llama_tiny(lora_rank=4))
+        cfg = cfgs.interactvlm_tiny(
+            llama=cfgs.llama_tiny(lora_rank=4, weights_int8=int8_base)
+        )
         lcfg = cfg.llama
     else:
         dtype = jnp.bfloat16
         lc = {"7b": cfgs.llama_7b, "13b": cfgs.llama_13b}[size]
-        lcfg = lc(dtype=dtype, lora_rank=8, lora_alpha=16)
+        # PROBE_INT8=1: QLoRA mode -- frozen int8 base + bf16 adapters
+        # (the only 7B configuration that fits one 16 GB chip; bf16-base
+        # LoRA training needs TP-2, see utils/memory.training_budget)
+        lcfg = lc(dtype=dtype, lora_rank=8, lora_alpha=16,
+                  weights_int8=int8_base)
         cfg = cfgs.InteractVLMConfig(
             llama=lcfg,
             clip=cfgs.clip_vit_l_14(dtype=dtype),
@@ -89,7 +96,10 @@ def main():
 
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
                 ("data", "model"))
-    tx = optax.adamw(3e-4, weight_decay=0.0)
+    # The real trainer's masked optimizer (train/train.py:439-441): Adam
+    # moments exist ONLY for trainables (LoRA + heads, ~0.1% of 7B) --
+    # an unmasked adamw would allocate 54 GB of f32 moments and OOM.
+    tx, _ = make_optimizer(3e-4, weight_decay=0.0, mask=trainable_mask)
     t0 = time.perf_counter()
     with mesh:
         state, shardings = create_sharded_state(model, tx, micro, mesh)
@@ -115,7 +125,8 @@ def main():
     ms = float(np.median(times)) * 1e3
     eff_b = B * accum
     print(json.dumps({
-        "metric": f"train_step_ms_llama{size}_lora{lcfg.lora_rank}_"
+        "metric": f"train_step_ms_llama{size}"
+                  f"{'-int8base' if int8_base else ''}_lora{lcfg.lora_rank}_"
                   f"b{B}x{accum}_{V}view_seq{L_TEXT + 255}_mask{mask_size}",
         "value": round(ms, 1),
         "unit": "ms/step",

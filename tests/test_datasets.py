@@ -267,11 +267,11 @@ class TestObjectLiftMaps:
             include_object_maps=True, max_object_vertices=512,
         )
         assert batch["obj_p2p"].shape == (2, 4, 64, 64)
-        assert batch["obj_p2v"].shape == (2, 4, 64, 64, 3)
+        assert batch["obj_p2v"].shape == (3, 2, 4, 64, 64)  # corner-major
         assert batch["obj_valid_verts"][1].sum() == 500
         assert batch["gt_ocontact"][1].sum() > 0
         # row 0 (oafford) has no p2v -> all invalid
-        assert (batch["obj_p2v"][0] == -1).all()
+        assert (batch["obj_p2v"][:, 0] == -1).all()
 
         task_ids = batch["task_ids"]
         pred = jnp.full((2, 4, 64, 64), 2.0)  # confident positive logits

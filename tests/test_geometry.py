@@ -16,6 +16,7 @@ from interactvlm_tpu.geometry import (
     OBJECT_VIEWS,
     build_lift_maps,
     contact_mask_from_fragments,
+    corner_major,
     lift_multiview_points,
     lift_multiview_soft,
     lift_multiview_thresholded,
@@ -166,24 +167,26 @@ class TestRasterizer:
         assert inner.all(), "holes inside the silhouette"
 
 
+@pytest.fixture(scope="module")
+def sphere_maps():
+    verts, faces = uv_sphere()
+    S = 96
+    cams = np.stack(
+        [
+            [2.0, 45.0, 315.0, 0.0, 0.0],
+            [2.0, 45.0, 45.0, 0.0, 0.0],
+            [2.0, 330.0, 135.0, 0.0, 0.0],
+            [2.0, 330.0, 225.0, 0.0, 0.0],
+        ]
+    ).astype(np.float32)
+    w = max(pick_window(verts, faces, c, S) for c in cams)
+    p2v, bary, p2f = build_lift_maps(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(cams), S, w
+    )
+    return verts, faces, np.asarray(p2v), np.asarray(bary), np.asarray(p2f)
+
+
 class TestLift:
-    @pytest.fixture(scope="class")
-    def sphere_maps(self):
-        verts, faces = uv_sphere()
-        S = 96
-        cams = np.stack(
-            [
-                [2.0, 45.0, 315.0, 0.0, 0.0],
-                [2.0, 45.0, 45.0, 0.0, 0.0],
-                [2.0, 330.0, 135.0, 0.0, 0.0],
-                [2.0, 330.0, 225.0, 0.0, 0.0],
-            ]
-        ).astype(np.float32)
-        w = max(pick_window(verts, faces, c, S) for c in cams)
-        p2v, bary, p2f = build_lift_maps(
-            jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(cams), S, w
-        )
-        return verts, faces, np.asarray(p2v), np.asarray(bary), np.asarray(p2f)
 
     def test_roundtrip_contact_reconstruction(self, sphere_maps):
         """Project GT contact to masks, lift back, compare vertex sets
@@ -207,7 +210,7 @@ class TestLift:
         logits = np.where(masks, 20.0, -20.0).astype(np.float32)
         lifted = np.asarray(
             lift_multiview_soft(
-                jnp.asarray(logits), jnp.asarray(p2v), jnp.asarray(bary), N
+                jnp.asarray(logits), jnp.asarray(corner_major(p2v)), jnp.asarray(corner_major(bary)), N
             )
         )
         recon = set(np.where(lifted > 0.5)[0])
@@ -224,11 +227,11 @@ class TestLift:
         verts, faces, p2v, bary, _ = sphere_maps
         N = len(verts)
         logits = jnp.full(p2v.shape[:3], -20.0)
-        out = lift_multiview_soft(logits, jnp.asarray(p2v), jnp.asarray(bary), N)
+        out = lift_multiview_soft(logits, jnp.asarray(corner_major(p2v)), jnp.asarray(corner_major(bary)), N)
         assert float(jnp.max(out)) < 1e-4
         logits = jnp.full(p2v.shape[:3], 20.0)
         out = np.asarray(
-            lift_multiview_soft(logits, jnp.asarray(p2v), jnp.asarray(bary), N)
+            lift_multiview_soft(logits, jnp.asarray(corner_major(p2v)), jnp.asarray(corner_major(bary)), N)
         )
         visible = np.unique(np.asarray(p2v)[np.asarray(p2v) >= 0])
         assert np.allclose(out[visible], 1.0, atol=1e-3)
@@ -240,7 +243,7 @@ class TestLift:
 
         def loss(lg):
             return lift_multiview_thresholded(
-                lg, jnp.asarray(p2v), jnp.asarray(bary), N
+                lg, jnp.asarray(corner_major(p2v)), jnp.asarray(corner_major(bary)), N
             ).sum()
 
         g = jax.grad(loss)(logits)
@@ -277,7 +280,7 @@ class TestLift:
 
         got = np.asarray(
             lift_multiview_soft(
-                jnp.asarray(logits), jnp.asarray(p2v), jnp.asarray(bary), N
+                jnp.asarray(logits), jnp.asarray(corner_major(p2v)), jnp.asarray(corner_major(bary)), N
             )
         )
 
@@ -321,8 +324,9 @@ class TestGatherLift:
         bary = rng.dirichlet([1, 1, 1], (V, H, W)).astype(np.float32)
         logits = rng.normal(size=(V, H, W)).astype(np.float32) * 4
         want = np.asarray(
-            lift_multiview_soft(jnp.asarray(logits), jnp.asarray(p2v),
-                                jnp.asarray(bary), N)
+            lift_multiview_soft(jnp.asarray(logits),
+                                jnp.asarray(corner_major(p2v)),
+                                jnp.asarray(corner_major(bary)), N)
         )
         idx, w = build_gather_maps(p2v, bary, N)
         got = np.asarray(
@@ -386,3 +390,82 @@ class TestGatherLift:
         )
         assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
 
+
+
+class TestBatchedLift:
+    """The batched rank-1-scatter forms must equal a per-sample vmap of the
+    single-sample lifts (which XLA would otherwise batch into a scatter
+    whose layout pads 64x on TPU — geometry/lift._batched_normalized_scatter).
+    """
+
+    def test_batch_soft_matches_vmap(self, sphere_maps):
+        from interactvlm_tpu.geometry.lift import lift_batch_soft
+
+        verts, faces, p2v, bary, _ = sphere_maps
+        N = len(verts)
+        rng = np.random.default_rng(3)
+        logits = rng.normal(size=(3,) + p2v.shape[:3]).astype(np.float32) * 5
+        p3 = jnp.asarray(corner_major(p2v))
+        b3 = jnp.asarray(corner_major(bary))
+        want = jax.vmap(
+            lambda lg: lift_multiview_soft(lg, p3, b3, N)
+        )(jnp.asarray(logits))
+        got = lift_batch_soft(jnp.asarray(logits), p3, b3, N)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        # active mask zeroes inactive rows
+        act = jnp.asarray([True, False, True])
+        got2 = lift_batch_soft(jnp.asarray(logits), p3, b3, N, active=act)
+        assert np.abs(np.asarray(got2)[1]).max() == 0
+        np.testing.assert_allclose(np.asarray(got2)[0],
+                                   np.asarray(want)[0], atol=1e-5)
+
+    def test_batch_thresholded_matches_vmap(self, sphere_maps):
+        from interactvlm_tpu.geometry.lift import lift_batch_thresholded
+
+        verts, faces, p2v, bary, _ = sphere_maps
+        N = len(verts)
+        rng = np.random.default_rng(4)
+        B = 2
+        logits = rng.normal(size=(B,) + p2v.shape[:3]).astype(np.float32) * 3
+        # per-sample maps: roll the shared maps to fake two different sets
+        p2v_b = np.stack([p2v, np.roll(p2v, 1, axis=1)])
+        bary_b = np.stack([bary, np.roll(bary, 1, axis=1)])
+        p3 = jnp.asarray(np.moveaxis(p2v_b, -1, 0))
+        b3 = jnp.asarray(np.moveaxis(bary_b, -1, 0))
+        want = jax.vmap(
+            lambda lg, p, b: lift_multiview_thresholded(lg, p, b, N),
+            in_axes=(0, 1, 1),
+        )(jnp.asarray(logits), p3, b3)
+        got = lift_batch_thresholded(jnp.asarray(logits), p3, b3, N)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_batch_points_matches_vmap(self):
+        from interactvlm_tpu.geometry.lift import lift_batch_points
+
+        rng = np.random.default_rng(5)
+        B, V, H, W, P = 3, 2, 8, 8, 16
+        vals = rng.random((B, V, H, W)).astype(np.float32)
+        p2p = rng.integers(-1, P, (B, V, H, W)).astype(np.int32)
+        want = jax.vmap(
+            lambda v, m: lift_multiview_points(v, m, P)
+        )(jnp.asarray(vals), jnp.asarray(p2p))
+        got = lift_batch_points(jnp.asarray(vals), jnp.asarray(p2p), P)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_batch_soft_gradient_finite(self, sphere_maps):
+        from interactvlm_tpu.geometry.lift import lift_batch_soft
+
+        verts, faces, p2v, bary, _ = sphere_maps
+        N = len(verts)
+        p3 = jnp.asarray(corner_major(p2v))
+        b3 = jnp.asarray(corner_major(bary))
+        logits = jnp.ones((2,) + p2v.shape[:3]) * 0.3
+
+        g = jax.grad(
+            lambda lg: lift_batch_soft(lg, p3, b3, N).sum()
+        )(logits)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0

@@ -375,12 +375,16 @@ class TestMultiSegTokens:
         from interactvlm_tpu.geometry.lift import lift_multiview_thresholded
 
         P = cfg.num_object_points
-        obj_p2v = jnp.asarray(
-            rng.integers(-1, P, (B, V, MASK, MASK, 3)).astype(np.int32))
-        obj_bary = jnp.asarray(
-            rng.dirichlet([1, 1, 1], (B, V, MASK, MASK)).astype(np.float32))
+        # corner-major per-sample maps (3, B, V, H, W); vmap B = axis 1
+        obj_p2v = jnp.asarray(np.moveaxis(
+            rng.integers(-1, P, (B, V, MASK, MASK, 3)).astype(np.int32),
+            -1, 0))
+        obj_bary = jnp.asarray(np.moveaxis(
+            rng.dirichlet([1, 1, 1], (B, V, MASK, MASK)).astype(np.float32),
+            -1, 0))
         o3d = jax.vmap(
-            lambda m, p, bb: lift_multiview_thresholded(m, p, bb, P)
+            lambda m, p, bb: lift_multiview_thresholded(m, p, bb, P),
+            in_axes=(0, 1, 1),
         )(masks_k[:, 1], obj_p2v, obj_bary)
         assert o3d.shape == (B, P)
         assert np.isfinite(np.asarray(o3d)).all()
@@ -417,10 +421,12 @@ class TestGenHuObjTraining:
         V = cfg.multiview_channels
         batch["gt_ocontact"] = jnp.asarray(
             (rng.random((2, P)) > 0.7).astype(np.float32))
-        batch["obj_p2v"] = jnp.asarray(
-            rng.integers(-1, P, (2, V, MASK, MASK, 3)).astype(np.int32))
-        batch["obj_bary"] = jnp.asarray(
-            rng.dirichlet([1, 1, 1], (2, V, MASK, MASK)).astype(np.float32))
+        batch["obj_p2v"] = jnp.asarray(np.moveaxis(
+            rng.integers(-1, P, (2, V, MASK, MASK, 3)).astype(np.int32),
+            -1, 0))
+        batch["obj_bary"] = jnp.asarray(np.moveaxis(
+            rng.dirichlet([1, 1, 1], (2, V, MASK, MASK)).astype(np.float32),
+            -1, 0))
         batch["obj_valid_verts"] = jnp.ones((2, P), jnp.float32)
 
         params = model.init(jax.random.PRNGKey(0), batch)

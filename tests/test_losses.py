@@ -70,8 +70,8 @@ def test_hcontact_3d_grads_finite():
     rng = np.random.default_rng(2)
     B, V, H, W, N = 2, 2, 16, 16, 50
     pred = jnp.asarray(rng.uniform(-30, 30, (B, V, H, W)), jnp.float32)
-    p2v = jnp.asarray(rng.integers(0, N, (V, H, W, 3)), jnp.int32)
-    bary = jnp.asarray(rng.uniform(0, 1, (V, H, W, 3)), jnp.float32)
+    p2v = jnp.asarray(rng.integers(0, N, (3, V, H, W)), jnp.int32)
+    bary = jnp.asarray(rng.uniform(0, 1, (3, V, H, W)), jnp.float32)
     gtc = jnp.asarray(rng.choice([0.0, 1.0], (B, N)), jnp.float32)
 
     def f(pm):

@@ -132,3 +132,57 @@ def test_7b_bench_config_fits():
     b = serving_budget(cfg, batch=8, max_len=351, views=4,
                        prompt_len=319, kv="int8")
     assert b.fits(V5E_HBM_BYTES), b.table()
+
+
+def _full_cfg(lcfg):
+    return InteractVLMConfig(
+        llama=lcfg,
+        clip=clip_vit_l_14(dtype=jnp.bfloat16),
+        sam=sam_vit_h(dtype=jnp.bfloat16),
+        seg_token_idx=32000,
+        img_emb_len=255,
+        multiview_channels=4,
+        out_dim=256,
+    )
+
+
+def test_training_budget_findings():
+    """The documented training table (README): 7B bf16-base LoRA does NOT
+    fit one chip (the trainable embed/lm_head tables' grads+moments push
+    it past 16 GB -- reference trains them, train.py:316-322), 7B QLoRA
+    (frozen int8 base) DOES, and 13B QLoRA needs the model axis."""
+    from interactvlm_tpu.utils.memory import training_budget
+
+    bf16 = _full_cfg(llama_7b(dtype=jnp.bfloat16, lora_rank=8,
+                              lora_alpha=16))
+    assert not training_budget(bf16, batch=2, views=4,
+                               seq_len=512).fits(V5E_HBM_BYTES)
+
+    qlora = _full_cfg(llama_7b(dtype=jnp.bfloat16, lora_rank=8,
+                               lora_alpha=16, weights_int8=True))
+    b = training_budget(qlora, batch=2, views=4, seq_len=512)
+    assert b.fits(V5E_HBM_BYTES), b.table()
+
+    q13 = _full_cfg(llama_13b(dtype=jnp.bfloat16, lora_rank=8,
+                              lora_alpha=16, weights_int8=True))
+    assert not training_budget(q13, batch=2, views=4,
+                               seq_len=512).fits(V5E_HBM_BYTES)
+    assert training_budget(q13, batch=2, views=4, seq_len=512,
+                           n_model=2).fits(V5E_HBM_BYTES)
+    # bf16-base 7B fits on a data-2 x model-2 mesh (ZeRO + TP)
+    assert training_budget(bf16, batch=4, views=4, seq_len=512,
+                           n_data=2, n_model=2).fits(V5E_HBM_BYTES)
+
+
+def test_qlora_param_bytes_matches_live_tree():
+    """llama_param_bytes must track the QLoRA layout: int8 base kernels,
+    compute-dtype lm_head (trainable) and LoRA adapters."""
+    from interactvlm_tpu.models.llama import LlamaForCausalLM
+    import flax.linen as nn
+
+    cfg = llama_tiny(lora_rank=4, weights_int8=True)
+    model = LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    live = _tree_bytes(nn.meta.unbox(params))
+    est = llama_param_bytes(dataclasses.replace(cfg, dtype=jnp.float32))
+    assert abs(est - live) / live < 0.15, (est, live)

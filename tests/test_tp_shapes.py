@@ -112,3 +112,49 @@ def test_resize_token_tables_pads_to_multiple():
     # rows for the 3 REAL new tokens: mean-init (HF semantics); pad rows 0
     assert np.allclose(emb[128:131], emb[:128].mean(0))
     assert (emb[131:] == 0).all() and (head[:, 131:] == 0).all()
+
+
+@pytest.mark.parametrize("n_data,n_model", [(4, 2), (2, 4)])
+def test_13b_qlora_training_state_shardings_divide(n_data, n_model):
+    """TRAINING analog of the serving check (VERDICT r3 #7): the 13B QLoRA
+    train state -- int8 frozen base + bf16 LoRA/table trainables under the
+    real masked optimizer -- sharded over (data, model), with every
+    partitioned dim dividing its mesh axis and Adam moments existing ONLY
+    for trainable leaves (optax.masked leaves MaskedNode elsewhere;
+    unmasked 13B f32 moments alone would be ~100 GB)."""
+    from interactvlm_tpu.train.optimizer import make_optimizer, trainable_mask
+
+    cfg = llama_13b(dtype=jnp.bfloat16, vocab_size=32003, lora_rank=8,
+                    weights_int8=True)
+    model = LlamaForCausalLM(cfg)
+    mesh = create_mesh(n_data, n_model)
+    ids = jnp.zeros((8, 16), jnp.int32)
+
+    abs_vars = jax.eval_shape(model.init, jax.random.PRNGKey(0), ids)
+    specs = nn.get_partition_spec(abs_vars)
+    shardings = nn.logical_to_mesh_sharding(specs, mesh, list(LOGICAL_RULES))
+    abs_vars, shardings = nn.meta.unbox(abs_vars), nn.meta.unbox(shardings)
+    _check_divisible(abs_vars, shardings, mesh)
+
+    # the freeze policy keys off the composite tree where LLaMA lives
+    # under "lm/" (train/optimizer.py lora_only_llama); mirror that prefix
+    tx, _ = make_optimizer(
+        3e-4, mask=lambda p: trainable_mask({"lm": p})["lm"]
+    )
+    abs_opt = jax.eval_shape(tx.init, abs_vars)
+    opt_sh = opt_state_shardings(tx, abs_vars, mesh,
+                                 param_shardings=shardings)
+    _check_divisible(abs_opt, opt_sh, mesh)
+
+    # moments exist only for trainables; total moment bytes stay adapter-
+    # scale (tables + LoRA + heads), nowhere near the 26 GB of a full 13B
+    moment_bytes = sum(
+        int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(abs_opt)
+        if hasattr(leaf, "shape") and leaf.ndim > 0
+    )
+    base_bytes = sum(
+        int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(abs_vars)
+    )
+    assert moment_bytes < 0.25 * base_bytes, (moment_bytes, base_bytes)

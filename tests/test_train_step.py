@@ -225,3 +225,36 @@ def test_collectives_on_mesh():
     assert np.allclose(r[1], xn[0]) and np.allclose(r[0], xn[7])
 
     assert host_gather(np.ones(3))[0].shape == (3,)
+
+
+@pytest.mark.slow
+def test_qlora_train_step_int8_base():
+    """QLoRA: weights_int8 + lora_rank trains on a frozen int8 base --
+    the configuration that fits a 7B LoRA step on ONE 16 GB chip
+    (utils/memory.training_budget). The int8 kernels must be bit-frozen
+    across steps while the loss drops through the bf16 adapters."""
+    mesh = create_mesh(n_data=4, n_model=2)
+    cfg = interactvlm_tiny(
+        llama=llama_tiny(lora_rank=4, weights_int8=True)
+    )
+    model = InteractVLM(cfg)
+    batch = make_batch(cfg, B=4)
+    tx, _ = make_optimizer(lr=1e-3, warmup_steps=0, total_steps=50,
+                           mask=trainable_mask)
+    with mesh:
+        state, shardings = create_sharded_state(model, tx, batch, mesh)
+        step = make_train_step(model, tx, mesh, shardings, batch,
+                               donate=False)
+        q0 = [np.asarray(p) for p in jax.tree.leaves(state.params)
+              if p.dtype == jnp.int8]
+        assert q0, "tiny int8 config produced no int8 kernels"
+        losses = []
+        for _ in range(4):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        q1 = [np.asarray(p) for p in jax.tree.leaves(state.params)
+              if p.dtype == jnp.int8]
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], f"no learning through int8 base: {losses}"
+    for a, b in zip(q0, q1):
+        assert (a == b).all(), "int8 base moved"
