@@ -91,6 +91,36 @@ def trainable_mask(
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def cast_frozen_params(variables, dtype, min_size: int = 2 ** 16):
+    """Store FROZEN float params in the compute dtype.
+
+    flax modules cast params to their compute ``dtype`` at every use, so a
+    frozen f32 leaf under a bf16 module computes bit-identically when
+    stored bf16 -- but flax's default param_dtype keeps it f32 in HBM. At
+    7B QLoRA that is 2.4 GiB of f32 SAM + 1.2 GiB of f32 CLIP for nothing
+    (measured: the train-state arguments alone exceeded the chip).
+    Trainables keep f32 (Adam accumulates there); small leaves (norm
+    gains, biases -- under ``min_size`` elements) keep f32 because some
+    norms intentionally compute in f32.
+    """
+    import numpy as np
+
+    params = variables["params"] if "params" in variables else variables
+    mask = trainable_mask(params)
+
+    def one(p, train):
+        if (not train and hasattr(p, "dtype")
+                and p.dtype == jnp.float32
+                and int(np.prod(p.shape)) >= min_size):
+            return p.astype(dtype)
+        return p
+
+    casted = jax.tree.map(one, params, mask)
+    if "params" in variables:
+        return {**variables, "params": casted}
+    return casted
+
+
 def make_optimizer(
     lr: float = 3e-4,
     warmup_steps: int = 100,

@@ -475,6 +475,9 @@ def main(argv=None):
             model, tx,
             jax.tree.map(lambda x: x[0], example) if accum > 1 else example,
             mesh,
+            # frozen params stored in the compute dtype (bit-identical
+            # under the dtype'd modules; halves frozen SAM/CLIP HBM)
+            frozen_dtype=cfg.llama.dtype,
         )
         step_fn = make_train_step(
             model, tx, mesh, shardings, example, accum_steps=accum

@@ -94,9 +94,15 @@ def opt_state_shardings(tx, params_shapes, mesh: Mesh, param_shardings=None):
     return jax.tree.map(one, abs_state)
 
 
-def create_sharded_state(model, tx, example_batch, mesh: Mesh, rng=None):
+def create_sharded_state(model, tx, example_batch, mesh: Mesh, rng=None,
+                         frozen_dtype=None):
     """Initialize a TrainState with params placed per their TP annotations
-    and optimizer state ZeRO-sharded over ``data``."""
+    and optimizer state ZeRO-sharded over ``data``.
+
+    ``frozen_dtype``: store frozen float params in this (compute) dtype --
+    bit-identical forward under bf16 modules, halves the frozen SAM/CLIP
+    HBM (train/optimizer.cast_frozen_params). None keeps flax's f32.
+    """
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
     def init_fn():
@@ -104,10 +110,17 @@ def create_sharded_state(model, tx, example_batch, mesh: Mesh, rng=None):
 
     shardings, abs_vars = param_sharding_tree(model, init_fn, mesh)
 
-    init_jit = jax.jit(
-        lambda: nn.meta.unbox(model.init(rng, example_batch)),
-        out_shardings=nn.meta.unbox(shardings),
-    )
+    def init_unboxed():
+        v = nn.meta.unbox(model.init(rng, example_batch))
+        if frozen_dtype is not None:
+            from interactvlm_tpu.train.optimizer import cast_frozen_params
+
+            v = cast_frozen_params(v, frozen_dtype)
+        return v
+
+    # the sharding tree is dtype-agnostic: casting frozen leaves keeps the
+    # tree structure, so the same out_shardings applies
+    init_jit = jax.jit(init_unboxed, out_shardings=nn.meta.unbox(shardings))
     with mesh:
         variables = init_jit()
 

@@ -14,7 +14,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict
 
-V5E_HBM_BYTES = 16 * 1024 ** 3
+# measured usable HBM on the real chip (XLA's OOM dumps report
+# "15.75G hbm" capacity with ~258 MB runtime-reserved on top)
+V5E_HBM_BYTES = int(15.75 * 1024 ** 3)
 
 
 def _dtype_bytes(dtype) -> int:
@@ -35,16 +37,18 @@ def llama_param_bytes(cfg, tp: int = 1) -> int:
     attn_params = h * d * (2 * cfg.num_heads + 2 * cfg.num_kv_heads)
     mlp_params = 3 * h * cfg.intermediate_size
     matmul = cfg.num_layers * (attn_params + mlp_params)
-    # QLoRA training (lora_rank>0) keeps the TRAINABLE lm_head in the
-    # compute dtype (models/llama.py setup); pure int8 serving keeps it
-    # int8. LoRA adapters themselves ride the compute dtype.
+    # QLoRA training (lora_rank>0) keeps the TRAINABLE lm_head + LoRA
+    # adapters in flax's f32 param_dtype (Adam accumulates there); pure
+    # int8 serving keeps the head int8 and everything else is cast to the
+    # compute dtype (utils/weights.cast_serving_params).
+    trainable_db = 4 if cfg.lora_rank > 0 else _dtype_bytes(cfg.dtype)
     head = h * cfg.vocab_size
     extra = 0
     if cfg.lora_rank > 0:
         extra += cfg.num_layers * 2 * cfg.lora_rank * (
             h + max(cfg.num_heads, cfg.num_kv_heads) * d
-        ) * _dtype_bytes(cfg.dtype)
-        head_bytes = head * _dtype_bytes(cfg.dtype)
+        ) * trainable_db
+        head_bytes = head * trainable_db
     else:
         matmul += head
         head_bytes = 0
@@ -57,7 +61,7 @@ def llama_param_bytes(cfg, tp: int = 1) -> int:
         matmul * 1 + scale_out * 4 if cfg.weights_int8
         else matmul * _dtype_bytes(cfg.dtype)
     )
-    embed = cfg.vocab_size * h * _dtype_bytes(cfg.dtype)
+    embed = cfg.vocab_size * h * trainable_db
     norms = (2 * cfg.num_layers + 1) * h * 4  # RMSNorm gains kept f32-ish
     return (kernel_bytes + head_bytes + norms + extra) // tp + embed
 
@@ -138,8 +142,8 @@ class ServingBudget:
         return sum(self.components.values())
 
     def fits(self, hbm_bytes: int = V5E_HBM_BYTES,
-             reserve_frac: float = 0.04) -> bool:
-        """4% reserved for the runtime/compiler scratch."""
+             reserve_frac: float = 0.02) -> bool:
+        """~2% (258 MB measured) reserved for the runtime scratch."""
         return self.total <= hbm_bytes * (1.0 - reserve_frac)
 
     def table(self) -> str:
@@ -223,7 +227,20 @@ def train_activation_bytes(cfg, batch: int, views: int, seq_len: int,
     ) * 2
     logits = b * seq_len * lc.vocab_size * 4 // max(n_model, 1)
     llama_peak = saved + block_live + logits
-    return max(sam_peak, llama_peak)
+
+    # mask/lift legs of the TRAIN loss (absent at serving): ~10 f32
+    # full-res mask temps (pred/upsample/focal/dice forward + cotangents)
+    # plus the rank-1 lift candidate streams (values/weights/ids + grad;
+    # geometry/lift._batched_normalized_scatter) and the trainable mask
+    # decoder's saved cross-attention activations. Coefficients calibrated
+    # against a measured on-chip compile: 7B-QLoRA b=2 V=4 seq=512
+    # mask=1024 -> program 4.25 GiB (scripts/train_step_probe.py, r4).
+    mask_px = b * views * cfg.sam.img_size ** 2  # == gt mask resolution
+    mask_leg = 10 * mask_px * 4
+    lift_leg = 4 * 3 * mask_px * 4
+    dec_leg = 2 * b * views * tokens * s.prompt_embed_dim * 4
+    total = (sam_peak + llama_peak + mask_leg + lift_leg + dec_leg)
+    return int(total * 1.25)  # measured layout padding + fragmentation
 
 
 def training_budget(cfg, batch: int, views: int, seq_len: int,
@@ -235,19 +252,22 @@ def training_budget(cfg, batch: int, views: int, seq_len: int,
     over BOTH axes (train/train_step.py:43-94), remat activations.
 
     The reference trains this scale with DeepSpeed ZeRO-2
-    (/root/reference/train.py:356-389). Grads and Adam moments live in
-    the param dtype (optax zeros_like); grads count twice for the
-    accumulation carry of the scan-based microbatch loop
-    (train/train_step.py make_train_step)."""
+    (/root/reference/train.py:356-389). Trainables and their grads/Adam
+    moments live in f32 (flax param_dtype; optax zeros_like); grads count
+    twice for the accumulation carry of the scan-based microbatch loop
+    (train/train_step.py make_train_step). Frozen towers are stored in
+    the compute dtype (create_sharded_state frozen_dtype /
+    train/optimizer.cast_frozen_params). Calibrated against a measured
+    7B-QLoRA B=2 seq-512 mask-1024 step on a real v5e (scripts/
+    train_step_probe.py): arguments 11.3 GiB, program 4.3 GiB."""
     t = trainable_param_count(cfg)
-    db = _dtype_bytes(cfg.llama.dtype)
     return ServingBudget({
         "llama_params": llama_param_bytes(cfg.llama, tp=n_model),
         "sam_params": sam_param_bytes(cfg.sam),
         "clip_params": clip_param_bytes(cfg.clip),
         # trainable copy rides inside llama/sam counts; grads are extra
-        "grads": 2 * t * db,
-        "adam_moments": 2 * t * db // max(n_data * n_model, 1),
+        "grads": 2 * t * 4,
+        "adam_moments": 2 * t * 4 // max(n_data * n_model, 1),
         "activations": train_activation_bytes(
             cfg, batch, views, seq_len, n_data, n_model, remat
         ),

@@ -102,7 +102,9 @@ def main():
     tx, _ = make_optimizer(3e-4, weight_decay=0.0, mask=trainable_mask)
     t0 = time.perf_counter()
     with mesh:
-        state, shardings = create_sharded_state(model, tx, micro, mesh)
+        state, shardings = create_sharded_state(
+            model, tx, micro, mesh, frozen_dtype=dtype
+        )
         log(f"state init {time.perf_counter() - t0:.1f}s")
         step_fn = make_train_step(model, tx, mesh, shardings,
                                   batch, accum_steps=accum)

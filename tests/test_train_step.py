@@ -258,3 +258,48 @@ def test_qlora_train_step_int8_base():
     assert losses[-1] < losses[0], f"no learning through int8 base: {losses}"
     for a, b in zip(q0, q1):
         assert (a == b).all(), "int8 base moved"
+
+
+def test_frozen_dtype_cast_halves_frozen_params_only():
+    """create_sharded_state(frozen_dtype=bf16): frozen float leaves above
+    the size floor (SAM/CLIP/base kernels) store bf16 -- bit-identical
+    compute under bf16 modules -- while trainables (LoRA, decoders, token
+    tables) keep f32 for Adam, and small norm gains stay f32."""
+    import jax.numpy as jnp
+
+    from interactvlm_tpu.train.optimizer import path_str
+
+    mesh = create_mesh(n_data=4, n_model=2)
+    cfg = interactvlm_tiny(llama=llama_tiny(lora_rank=4))
+    model = InteractVLM(cfg)
+    batch = make_batch(cfg, B=4)
+    from interactvlm_tpu.train.optimizer import cast_frozen_params
+
+    # direct cast with a floor below tiny-scale kernels
+    import flax.linen as nn
+
+    variables = nn.meta.unbox(model.init(jax.random.PRNGKey(0), batch))
+    casted = cast_frozen_params(variables, jnp.bfloat16, min_size=256)
+    flat = {
+        path_str(p): l for p, l in
+        jax.tree_util.tree_leaves_with_path(casted)
+    }
+    n_bf16 = sum(v.dtype == jnp.bfloat16 for v in flat.values())
+    assert n_bf16 > 0
+    for k, v in flat.items():
+        if "lora_a" in k or "lora_b" in k or "text_hidden_fcs" in k \
+                or "mask_decoder" in k:
+            assert v.dtype != jnp.bfloat16, (k, v.dtype)
+        if v.dtype == jnp.bfloat16:
+            assert v.size >= 256, (k, v.shape)
+
+    # the production entry point (size floor 2**16 skips tiny leaves but
+    # the state must still build and step)
+    tx, _ = make_optimizer(lr=1e-3, mask=trainable_mask)
+    with mesh:
+        state, shardings = create_sharded_state(
+            model, tx, batch, mesh, frozen_dtype=jnp.bfloat16
+        )
+        step = make_train_step(model, tx, mesh, shardings, batch)
+        state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
