@@ -226,9 +226,12 @@ def main():
     cache_views = os.environ.get("BENCH_CACHE_VIEWS", "1") == "1"
     # cached serving has no SAM encode in the loop, so HBM headroom allows
     # a bigger batch -- and the decode leg is weight-read bound, so batch
-    # amortizes it nearly for free. Defaults to B (same-shape comparison);
-    # the headline config raises it (see README serving table).
-    Bc = int(os.environ.get("BENCH_CACHE_BATCH", str(B)))
+    # amortizes it nearly for free (measured 11.4 img/s at Bc=8 vs 19.3 at
+    # Bc=32 for 7B-int8). Default is therefore 32 for the 7B flagship on
+    # the real chip; 13B keeps Bc=B (KV + weights leave no headroom), and
+    # CPU keeps Bc=B (same-shape comparison for tests).
+    default_bc = 32 if (on_tpu and llama_size == "7b") else B
+    Bc = int(os.environ.get("BENCH_CACHE_BATCH", str(default_bc)))
     # BENCH_STREAMING=0 skips the uncached (re-encode-every-batch) leg.
     # Needed at 13B on ONE chip: int8 weights are ~13.9 GiB of arguments,
     # and the streaming while-body's SAM-encode temps (~3.1 GiB measured,

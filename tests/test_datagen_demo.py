@@ -102,7 +102,7 @@ class TestDemoUtils:
         assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
         d = demo_utils.load_lift2d_dict(lift_path)
         assert d["num_vertices"] == len(verts)
-        assert d["p2v"].shape == (4, 96, 96, 3)
+        assert d["p2v"].shape == (3, 4, 96, 96)  # corner-major, lift.corner_major
         img = np.asarray(Image.open(paths[0]))
         assert (img < 250).any()  # something was rendered
 
