@@ -246,6 +246,13 @@ class InteractVLMConfig:
     hC_loss_weight: float = 3.0
     oC_loss_weight: float = 1.0
 
+    # seg-token slots supervised per conversation ROW. The reference
+    # decodes + trains one mask set PER seg token in a sequence
+    # (InteractVLM.py:389-410); 1 keeps the single-token fast path, 2 is
+    # the Gen-Hu-Obj/Gen-Int interaction setting where one answer can
+    # carry [HSEG] and [OSEG].
+    max_seg_tokens: int = 1
+
     # projection text_hidden_fcs: hidden_size -> out_dim (256)
     out_dim: int = 256
 

@@ -478,9 +478,15 @@ class VQADataset(BaseContactDataset):
     ds_name = "vqa"
 
     def __init__(self, base_dir: str, annotation_file: str = "vqa.pkl",
-                 view_type: str = "4MV-Z_Vitru_mv2", **kw):
+                 view_type: str = "4MV-Z_Vitru_mv2", split: str = "train",
+                 **kw):
         super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
-        self.records = _load_pickle(join(base_dir, annotation_file))
+        self.split = split
+        records = _load_pickle(join(base_dir, annotation_file))
+        # vqa.pkl is either a flat record list (the reference's VQA source,
+        # llava_v1_5_mix665k, is train-only: datasets/vqa_dataset.py:64-85)
+        # or {split: [records]} like the other index.pkl layouts.
+        self.records = records[split] if isinstance(records, dict) else records
 
     def __len__(self):
         return len(self.records)
@@ -1150,11 +1156,18 @@ class SemSegLISADataset(BaseContactDataset):
     IGNORE = 255
 
     def __init__(self, base_dir: str, dataset: str = "ade20k",
-                 view_type: str = "4MV-Z_Vitru_mv2", **kw):
+                 view_type: str = "4MV-Z_Vitru_mv2", split: str = "train",
+                 **kw):
         super().__init__(base_dir, HUMAN_VIEWS[view_type], **kw)
         import glob as _glob
         import json as _json
 
+        # the reference inits hardcode the training splits of these corpora
+        # (sem_seg_dataset.py:39-124: images/training, train2017,
+        # train.json) -- sem-seg is a train-only mixture component, so the
+        # split is accepted for build_dataset uniformity but selects the
+        # same records.
+        self.split = split
         self.dataset = dataset
         if dataset == "ade20k":
             # init_ade20k (sem_seg_dataset.py:39-67): class json + paired

@@ -413,12 +413,8 @@ class TestNewDatasets:
         assert fill_polygon([(1, 1), (2, 2)], 5, 5).sum() == 0
 
 
-class TestSemSegLISA:
-    """Real-layout sem-seg adapters (reference sem_seg_dataset.py inits
-    and label remaps), on fabricated trees with the documented layouts."""
-
-    @pytest.fixture(scope="class")
-    def lisa_root(self, tmp_path_factory):
+@pytest.fixture(scope="module")
+def lisa_root(tmp_path_factory):
         import json
 
         root = tmp_path_factory.mktemp("lisa")
@@ -474,6 +470,11 @@ class TestSemSegLISA:
             json.dump(coco, f)
         return str(root)
 
+
+class TestSemSegLISA:
+    """Real-layout sem-seg adapters (reference sem_seg_dataset.py inits
+    and label remaps), on fabricated trees with the documented layouts."""
+
     def _mk(self, root, ds):
         from interactvlm_tpu.data.datasets import SemSegLISADataset
 
@@ -522,11 +523,8 @@ def open_mkdir(path, mode="w"):
     return open(path, mode)
 
 
-class TestReferSegLISA:
-    """Real REFER-corpora layout (refs(splitBy).p + instances.json)."""
-
-    @pytest.fixture(scope="class")
-    def refer_root(self, tmp_path_factory):
+@pytest.fixture(scope="module")
+def refer_root(tmp_path_factory):
         import json
 
         root = tmp_path_factory.mktemp("refer")
@@ -564,6 +562,10 @@ class TestReferSegLISA:
             with open(join(d, "instances.json"), "w") as f:
                 json.dump(inst, f)
         return str(root)
+
+
+class TestReferSegLISA:
+    """Real REFER-corpora layout (refs(splitBy).p + instances.json)."""
 
     def test_refcoco_train_split_and_mask(self, refer_root):
         import random as _random
@@ -753,3 +755,74 @@ class TestBuildDataset:
         build_dataset("hcontact", "/d", "train", a)
         assert recorded["sem_seg"]["num_classes_per_sample"] == 3
         assert "num_classes_per_sample" not in recorded["hcontact"]
+
+
+@pytest.fixture(scope="module")
+def legacy_seg_root(tmp_path_factory):
+    """Minimal index.pkl trees for the LISA-legacy refer/reason/sem-seg
+    adapters (their documented layouts, datasets.py docstrings)."""
+    root = tmp_path_factory.mktemp("legacy")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    os.makedirs(join(root, "images"), exist_ok=True)
+    Image.fromarray(img).save(join(root, "images", "z.jpg"))
+
+    # refer_seg: uncompressed column-major RLE (10 off, 6 on, 48 off)
+    d = join(root, "refer_seg", "refcoco")
+    os.makedirs(d, exist_ok=True)
+    with open(join(d, "index.pkl"), "wb") as f:
+        pickle.dump({"train": [{
+            "image": "z.jpg", "sent": "the thing",
+            "mask_rle": {"size": [16, 16], "counts": [10, 6, 240]},
+        }]}, f)
+
+    # reason_seg: polygon annotations
+    d = join(root, "reason_seg")
+    os.makedirs(d, exist_ok=True)
+    with open(join(d, "index.pkl"), "wb") as f:
+        pickle.dump({"train": [{
+            "image": "z.jpg", "sent": "where would one sit?",
+            "polygons": [[2, 2, 12, 2, 12, 12, 2, 12]],
+            "is_sentence": True,
+        }]}, f)
+
+    # sem_seg: class-id label PNG
+    d = join(root, "sem_seg", "ade20k")
+    os.makedirs(join(d, "labels"), exist_ok=True)
+    lab = np.zeros((16, 16), np.uint8)
+    lab[4:10, 4:10] = 3
+    Image.fromarray(lab).save(join(d, "labels", "z.png"))
+    with open(join(d, "index.pkl"), "wb") as f:
+        pickle.dump({"train": [{
+            "image": "z.jpg", "label_file": "z.png",
+            "classes": {"sky": 3},
+        }]}, f)
+    return str(root)
+
+
+def test_build_dataset_constructs_every_registry_entry(
+    data_root, lisa_root, refer_root, legacy_seg_root
+):
+    """EVERY DATASET_REGISTRY entry constructs through the one central
+    build_dataset path AND serves item 0 (this exact test would have
+    caught the r04 VQADataset split-kwarg TypeError that broke the
+    interaction flagship mixture)."""
+    import argparse
+
+    from interactvlm_tpu.data.datasets import DATASET_REGISTRY, build_dataset
+    from interactvlm_tpu.data.datasets import Sample
+
+    roots = {
+        "refer_seg": legacy_seg_root,
+        "reason_seg": legacy_seg_root,
+        "sem_seg": legacy_seg_root,
+        "refer_seg_lisa": refer_root,
+        "sem_seg_lisa": lisa_root,
+    }
+    args = argparse.Namespace(image_size=64, clip_size=32)
+    for name in DATASET_REGISTRY:
+        ds = build_dataset(name, roots.get(name, data_root), "train", args)
+        assert len(ds) > 0, name
+        s = ds[0]
+        assert isinstance(s, Sample), name
+        assert s.ds_name, name
