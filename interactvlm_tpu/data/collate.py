@@ -67,6 +67,12 @@ class Sample:
     obj_p2v: Optional[np.ndarray] = None  # (V, H, W, 3) int32, -1 invalid
     obj_bary: Optional[np.ndarray] = None  # (V, H, W, 3) float32
     num_valid_verts: int = 0  # real vertex count (ocontact meshes)
+    # per-seg-token GT mask sets for conversations carrying MORE than one
+    # seg token ([HSEG]+[OSEG] interaction answers): (K, V or 1, H, W) in
+    # token EMISSION order, like the reference's positional masks_list
+    # alignment (InteractVLM.py:436-442). None = single-token sample
+    # (slot 0 is ``masks``).
+    masks_k: Optional[np.ndarray] = None
 
 
 def _repeat_views(x: np.ndarray, V: int) -> np.ndarray:
@@ -89,6 +95,7 @@ def collate(
     include_object_maps: bool = False,
     max_object_vertices: int = 8192,
     num_conversations: int = 1,
+    max_seg_tokens: int = 1,
 ) -> Dict[str, Any]:
     """Returns the model batch dict plus host-side metadata lists.
 
@@ -102,6 +109,14 @@ def collate(
     conversations contribute padding rows whose labels are all-IGNORE,
     whose task id is VQA (no mask loss), and whose gt masks are IGNORE
     everywhere -- they contribute exactly zero loss.
+
+    ``max_seg_tokens`` > 1 emits K-slot GT masks ``gt_masks`` (B, K, V, H,
+    W) plus a ``seg_slot_has_mask`` (B, K) indicator -- one mask set per
+    seg token of the row's conversation, positionally aligned with token
+    emission order like the reference's masks_list (InteractVLM.py:
+    436-442). Single-token samples fill slot 0 from ``masks``; samples
+    with ``masks_k`` fill their K sets; unfilled slots are IGNORE with a
+    zero indicator.
     """
     V = multiview_channels
     if num_conversations > 1:
@@ -111,6 +126,11 @@ def collate(
         assert not include_object_maps, (
             "multi-conversation collate does not carry object lift maps; "
             "train object datasets with num_conversations=1"
+        )
+        assert max_seg_tokens == 1, (
+            "multi-conversation rows are one-seg-token by construction "
+            "(one sampled class per conversation); K-slot GT masks apply "
+            "to the num_conversations=1 interaction mixtures"
         )
         return _collate_multiconv(
             samples, tokenizer, max_len, conv_type, use_mm_start_end,
@@ -140,18 +160,39 @@ def collate(
         elif tid == 3 and v.size == num_object_points:
             gt_oa[i] = v
 
+    gt_masks: np.ndarray = masks.astype(np.float32)
+    seg_slot_has_mask = None
+    if max_seg_tokens > 1:
+        K = max_seg_tokens
+        _, Vv, Hm, Wm = gt_masks.shape
+        gtk = np.full((B, K, Vv, Hm, Wm), -1.0, np.float32)  # IGNORE
+        seg_slot_has_mask = np.zeros((B, K), np.float32)
+        for i, s in enumerate(samples):
+            if s.masks_k is not None:
+                mk = np.asarray(s.masks_k, np.float32)
+                n = min(mk.shape[0], K)
+                for k in range(n):
+                    gtk[i, k] = _repeat_views(mk[k], V)
+                seg_slot_has_mask[i, :n] = 1.0
+            else:
+                gtk[i, 0] = gt_masks[i]
+                seg_slot_has_mask[i, 0] = float(task_ids[i] != 0)
+        gt_masks = gtk
+
     batch = {
         "input_ids": tok["input_ids"],
         "labels": tok["labels"],
         "attn_mask": tok["attn_mask"],
         "images_clip": np.stack([s.image_clip for s in samples]),
         "sam_images": sam_images,
-        "gt_masks": masks.astype(np.float32),
+        "gt_masks": gt_masks,
         "cam_params": cams.astype(np.float32),
         "task_ids": task_ids,
         "gt_hcontact": gt_h,
         "gt_oafford": gt_oa,
     }
+    if seg_slot_has_mask is not None:
+        batch["seg_slot_has_mask"] = seg_slot_has_mask
     if include_maps and human_maps is not None:
         # device-side lifts take corner-major (3, V, H, W) maps -- a
         # trailing dim of 3 tile-pads 42.7x in TPU HBM. Maps are converted

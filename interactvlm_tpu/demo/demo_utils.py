@@ -169,20 +169,29 @@ def convert_contacts_smpl_to_smplx(contacts, mapping: np.ndarray):
     return out[0] if single else out
 
 
+def overlay_mask(img, mask, alpha: float = 0.5, color=(255, 38, 25)):
+    """One mask overlay (reference run_demo.py:499-515). img: (H, W, 3)
+    uint8; mask: (H, W) probabilities."""
+    over = np.asarray(img).astype(np.float32).copy()
+    mm = (np.asarray(mask) > 0.5)[..., None]
+    over = np.where(
+        mm, (1 - alpha) * over + alpha * np.asarray(color, np.float32),
+        over,
+    )
+    return over.astype(np.uint8)
+
+
 def overlay_grid(renders, masks, alpha: float = 0.5,
                  color=(255, 38, 25)):
     """2x2 grid of mask overlays on the view renders (reference
     run_demo.py:516-558). renders: (4, H, W, 3) uint8; masks: (4, H, W)
-    probabilities."""
-    out = []
-    for img, m in zip(np.asarray(renders), np.asarray(masks)):
-        over = img.astype(np.float32).copy()
-        mm = (m > 0.5)[..., None]
-        over = np.where(
-            mm, (1 - alpha) * over + alpha * np.asarray(color, np.float32),
-            over,
-        )
-        out.append(over.astype(np.uint8))
+    probabilities. Fewer than 4 images concatenate in one row."""
+    out = [overlay_mask(i, m, alpha, color)
+           for i, m in zip(np.asarray(renders), np.asarray(masks))]
+    if len(out) == 1:
+        return out[0]
+    if len(out) < 4:
+        return np.concatenate(out, axis=1)
     top = np.concatenate(out[:2], axis=1)
     bot = np.concatenate(out[2:4], axis=1)
     return np.concatenate([top, bot], axis=0)

@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--random_weights", action="store_true")
     p.add_argument("--mask_size", type=int, default=None)
+    p.add_argument("--body_template", default=None,
+                   help="OBJ of the body template mesh (SMPL/SMPL-X); "
+                        "hcontact mode exports it with contact vertices "
+                        "colored (reference process_smplx_mesh_with_"
+                        "contacts, run_demo.py:455-462)")
     return p.parse_args(argv)
 
 
@@ -156,12 +161,16 @@ def main(argv=None):
         vs = HUMAN_VIEWS[cfg.hC_sam_view_type]
         cam_params = normalize_cam_params(vs.cam_params())[None]
         if args.sam_renders_dir:
-            views = []
+            views, raws = [], []
             for name in vs.names:
                 img = load_image_rgb(join(args.sam_renders_dir, f"{name}.png"))
+                raws.append(img)
                 t, _ = sam_preprocess(img, S)
                 views.append(t)
             sam_views = np.stack(views)[None]
+            fixed_renders = np.stack(raws)
+        else:
+            fixed_renders = None
         if args.human_maps:
             m = np.load(args.human_maps)
             from interactvlm_tpu.geometry.lift import corner_major
@@ -171,6 +180,8 @@ def main(argv=None):
                 "bary": jnp.asarray(corner_major(np.asarray(m["bary"]))),
                 "num_vertices": int(m["p2v"].max()) + 1,
             }
+    else:
+        fixed_renders = None
 
     images = sorted(
         f for f in os.listdir(args.img_folder)
@@ -188,26 +199,43 @@ def main(argv=None):
             load_image_rgb(path), cfg.clip.image_size
         )[None]
 
+        meta = None
+        obj_mesh = None
+        raw_renders = fixed_renders
         if args.contact_type in ("oafford", "ocontact"):
             obj_dir = join(os.path.dirname(path), "sam_inp_objs")
             mesh_path = join(os.path.dirname(path), "object_mesh.obj")
+            obj_mesh = load_obj_mesh(mesh_path)
             if not os.path.exists(join(obj_dir, "lift2d_dict.pkl")):
-                ov, of = load_obj_mesh(mesh_path)
-                demo_utils.generate_sam_inp_objs(ov, of, obj_dir,
+                demo_utils.generate_sam_inp_objs(*obj_mesh, obj_dir,
                                                  image_size=mask_size)
             object_maps = demo_utils.load_lift2d_dict(
                 join(obj_dir, "lift2d_dict.pkl")
             )
-            views = []
+            views, raws = [], []
             from interactvlm_tpu.geometry.views import OBJECT_VIEWS
             ovs = OBJECT_VIEWS["4MV-Z_HM_MeshInf"]
             for name in ovs.names:
                 img = load_image_rgb(join(obj_dir, f"{name}.png"))
+                raws.append(img)
                 t, _ = sam_preprocess(img, S)
                 views.append(t)
             sam_imgs = np.stack(views)[None]
+            raw_renders = np.stack(raws)
             cams = normalize_cam_params(ovs.cam_params())[None]
             maps_kw = {"object_maps": object_maps}
+        elif args.contact_type == "h2dcontact":
+            # SAM runs on the PHOTO itself; masks score in the original
+            # frame (reference h2dcontact serving; evaluate_batch's meta
+            # path drives sam.postprocess_masks crop-then-resize)
+            raw = load_image_rgb(path)
+            t, resize = sam_preprocess(raw, S)
+            sam_imgs = np.repeat(t[None], V, axis=0)[None]
+            raw_renders = None
+            cams = np.zeros((1, V, 5), np.float32)
+            meta = {"resize_list": [resize],
+                    "label_list": [np.zeros(raw.shape[:2], np.float32)]}
+            maps_kw = {}
         else:
             sam_imgs = (
                 sam_views if sam_views is not None
@@ -229,11 +257,40 @@ def main(argv=None):
         out = evaluate_batch(
             model, params, batch, cfg, mask_size,
             contact_type=args.contact_type,
-            max_new_tokens=args.max_new_tokens, **maps_kw,
+            max_new_tokens=args.max_new_tokens, meta=meta, **maps_kw,
         )
 
         np.save(join(args.output_folder, f"{stem}_pred_masks.npy"),
                 out["pred_masks"][0])
+
+        # ---- reference output bundle (reference run_demo.py:436-558) ----
+        from PIL import Image as _Image
+
+        pm = np.asarray(out["pred_masks"][0], np.float32)  # (V, h, w)
+        probs = 1.0 / (1.0 + np.exp(-pm))
+        if raw_renders is not None and probs.shape[0] >= 4:
+            # 2x2 mask-overlay grid over the view renders
+            Hr, Wr = raw_renders.shape[1:3]
+            masks_r = np.stack([
+                np.asarray(_Image.fromarray(
+                    (p * 255).astype(np.uint8)).resize(
+                        (Wr, Hr), _Image.BILINEAR), np.float32) / 255.0
+                for p in probs[:4]
+            ])
+            grid = demo_utils.overlay_grid(raw_renders[:4], masks_r)
+            _Image.fromarray(grid).save(join(
+                args.output_folder,
+                f"{stem}_{args.contact_type}_concat.jpg"))
+        if out.get("pred_masks_original") is not None:
+            # h2dcontact / 2D: mask in the ORIGINAL photo frame + overlay
+            om = np.asarray(out["pred_masks_original"][0], np.float32)
+            np.save(join(args.output_folder,
+                         f"{stem}_pred_mask_original.npy"), om)
+            photo = load_image_rgb(path)
+            over = demo_utils.overlay_grid(
+                photo[None], (1.0 / (1.0 + np.exp(-om)))[None])
+            _Image.fromarray(over[: photo.shape[0], : photo.shape[1]]).save(
+                join(args.output_folder, f"{stem}_h2dcontact_overlay.jpg"))
         if out["pred_contact_3d"] is not None:
             contact = out["pred_contact_3d"][0]
             save = {"contact": contact}
@@ -251,6 +308,27 @@ def main(argv=None):
                      "_vertices.npz"),
                 **save,
             )
+            # contact-colored OBJ (reference run_demo.py:455-478)
+            if args.contact_type in ("oafford", "ocontact") and obj_mesh:
+                demo_utils.export_contact_obj(
+                    join(args.output_folder,
+                         f"{stem}_object_mesh_with_contacts_"
+                         f"{args.contact_type}.obj"),
+                    obj_mesh[0], obj_mesh[1],
+                    contact[: len(obj_mesh[0])], threshold=0.5,
+                )
+            elif args.contact_type == "hcontact" and args.body_template:
+                bv, bf = load_obj_mesh(args.body_template)
+                body_contact = save.get("contact_smplx", contact)
+                if len(bv) == np.asarray(body_contact).size:
+                    demo_utils.export_contact_obj(
+                        join(args.output_folder,
+                             f"{stem}_body_with_hcontacts.obj"),
+                        bv, bf, body_contact, threshold=0.3,
+                    )
+                else:
+                    print(f"body_template has {len(bv)} verts, contact "
+                          f"{np.asarray(body_contact).size}; skipping OBJ")
         results.append({"image": fname, "has_seg": bool(out["has_seg"][0])})
         print(f"{fname}: seg={bool(out['has_seg'][0])}")
 

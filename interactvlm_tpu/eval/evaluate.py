@@ -363,6 +363,8 @@ def validate(
     kv_cache: str = "dense",
     mesh=None,
     cache_view_encode: Optional[bool] = None,
+    max_new_tokens: Optional[int] = None,
+    max_seg_tokens: Optional[int] = None,
 ):
     """Run the eval loop; returns (metrics dict, saved_results for DAMON
     reports). Pass ``mesh`` to shard every batch over the ``data`` axis
@@ -371,7 +373,19 @@ def validate(
     ``cache_view_encode``: encode the canonical view renders ONCE and reuse
     the frozen-encoder embedding for every batch (valid when all samples
     share fixed renders -- hcontact's Vitruvian views). Default (None):
-    auto-on for hcontact, off for per-sample-render object tasks."""
+    auto-on for hcontact, off for per-sample-render object tasks.
+
+    ``max_new_tokens``: generation budget per answer; None = 512 like the
+    reference eval (evaluate.py:104). With the ``parts`` answer template a
+    real answer can exceed 32 tokens -- a short budget silently drops the
+    seg token and collapses every mask metric (watch ``seg_rate``).
+
+    ``max_seg_tokens``: K seg-token slots decoded per answer; None = the
+    model config's ``max_seg_tokens`` (2 for Gen-Hu-Obj/Gen-Int)."""
+    if max_new_tokens is None:
+        max_new_tokens = 512  # reference evaluate.py:104
+    if max_seg_tokens is None:
+        max_seg_tokens = int(getattr(cfg, "max_seg_tokens", 1) or 1)
     if mesh is not None:
         batch_iter = shard_eval_batches(batch_iter, mesh)
     inter_m = AverageMeter("Intersec", summary_type=Summary.SUM)
@@ -415,10 +429,12 @@ def validate(
             out = evaluate_batch(
                 model, params, batch, cfg, mask_size,
                 contact_type=ds_name,
+                max_new_tokens=max_new_tokens,
                 human_maps=human_maps, object_maps=object_maps,
                 kv_cache=kv_cache,
                 meta=meta if is_2d else None,
                 cached_image_emb=cached_emb,
+                max_seg_tokens=max_seg_tokens,
             )
             pred_masks = out["pred_masks"]
             pred_3d = out["pred_contact_3d"]
@@ -673,6 +689,14 @@ def main(argv=None):
                         "reuse the frozen-encoder embedding every batch "
                         "(auto: on for hcontact, off for per-sample-render "
                         "object tasks)")
+    p.add_argument("--max_new_tokens", type=int, default=512,
+                   help="generation budget per answer (reference "
+                        "evaluate.py:104 uses 512; bench.py pins 32 as "
+                        "its perf protocol)")
+    p.add_argument("--max_seg_tokens", type=int, default=0,
+                   help="seg-token mask sets decoded per answer; 0 = "
+                        "auto from the re-hydrated token_type (2 for "
+                        "Gen-Hu-Obj/Gen-Int)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -827,6 +851,8 @@ def main(argv=None):
         kv_cache=args.kv_cache, dist_matrix=dist_matrix, mesh=mesh,
         cache_view_encode=(None if args.cache_view_encode == "auto"
                            else args.cache_view_encode == "on"),
+        max_new_tokens=args.max_new_tokens,
+        max_seg_tokens=args.max_seg_tokens or None,
     )
     report = {"metrics": results}
     if "hcontact" in args.val_dataset and saved["pred"]:

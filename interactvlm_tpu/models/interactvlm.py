@@ -264,13 +264,6 @@ class InteractVLM(nn.Module):
         ce_loss = cross_entropy_loss(out.logits, out.spliced_labels)
         ce_loss = cfg.ce_loss_weight * ce_loss
 
-        emb, token_id, has_seg = self.seg_embeddings(
-            out.hidden, out.spliced_ids
-        )
-        view_tokens = self.condition_views(
-            emb, batch["cam_params"], token_id
-        )
-
         image_emb = self.encode_sam_images(batch["sam_images"])
         if image_index is not None:
             image_emb = jnp.take(image_emb, image_index, axis=0)
@@ -281,6 +274,18 @@ class InteractVLM(nn.Module):
                 jnp.repeat(out.hidden, V, axis=0),
             )
             image_emb = fused.reshape(image_emb.shape)
+
+        if cfg.max_seg_tokens > 1:
+            return self._forward_train_multiseg(
+                batch, out, ce_loss, image_emb, is_h, is_oa, is_oc
+            )
+
+        emb, token_id, has_seg = self.seg_embeddings(
+            out.hidden, out.spliced_ids
+        )
+        view_tokens = self.condition_views(
+            emb, batch["cam_params"], token_id
+        )
         if cfg.use_diff_decoder:
             # per-SAMPLE decoder routing (reference ModifiedSAM.forward
             # selects by ds_name per row, InteractVLM.py:46-54,429-435):
@@ -364,6 +369,133 @@ class InteractVLM(nn.Module):
             "oA_loss": oA,
             "oC_loss": oC,
             "pred_masks": pred_masks,
+        }
+
+    def _forward_train_multiseg(
+        self, batch, out, ce_loss, image_emb, is_h, is_oa, is_oc
+    ):
+        """K-seg-token training supervision: one mask set and one loss
+        contribution per seg token of a row (reference decodes a mask set
+        per token and pairs it positionally with masks_list,
+        ``model/InteractVLM.py:389-442``). Slots fold into the decode
+        batch -- no per-token Python loop; gt masks arrive as
+        (B, K, V, H, W) with a (B, K) ``seg_slot_has_mask`` indicator
+        (collate ``max_seg_tokens``)."""
+        cfg = self.config
+        K = cfg.max_seg_tokens
+        B = out.hidden.shape[0]
+        emb_k, token_k, valid_k = self.seg_embeddings_k(
+            out.hidden, out.spliced_ids, K
+        )
+        embf = emb_k.reshape(B * K, emb_k.shape[-1])
+        tokf = token_k.reshape(B * K)
+        camsf = jnp.repeat(batch["cam_params"], K, axis=0)
+        view_tokens = self.condition_views(embf, camsf, tokf)
+        image_embf = jnp.repeat(image_emb, K, axis=0)
+
+        # per-slot domain routing: with distinct [HSEG]/[OSEG] ids route by
+        # the slot's TOKEN (the reference selects the decoder per decoded
+        # token / ds_name, InteractVLM.py:429-435); with shared ids
+        # (Gen / Gen-Int's [ISEG]) fall back to the row's task.
+        distinct = (
+            cfg.base_token_type == "Gen-Hu-Obj"
+            and cfg.hseg_token_idx != cfg.oseg_token_idx
+        )
+        if distinct:
+            sh = token_k == cfg.hseg_token_idx
+            so = token_k == cfg.oseg_token_idx
+            slot_h = valid_k & (sh | (is_h[:, None] & ~so))
+            slot_oa = valid_k & is_oa[:, None] & ~sh
+            slot_oc = valid_k & is_oc[:, None] & ~sh
+        else:
+            slot_h = valid_k & is_h[:, None]
+            slot_oa = valid_k & is_oa[:, None]
+            slot_oc = valid_k & is_oc[:, None]
+
+        if cfg.use_diff_decoder:
+            low_def = self.decode_view_masks(image_embf, view_tokens)
+            low_hd = self.decode_view_masks(
+                image_embf, view_tokens, "hcontact"
+            )
+            low_od = self.decode_view_masks(
+                image_embf, view_tokens, "ocontact"
+            )
+            sel_h = slot_h.reshape(B * K)[:, None, None, None]
+            sel_o = (slot_oa | slot_oc).reshape(B * K)[:, None, None, None]
+            low = jnp.where(sel_h, low_hd, jnp.where(sel_o, low_od, low_def))
+        else:
+            low = self.decode_view_masks(image_embf, view_tokens)
+
+        gt = batch["gt_masks"]  # (B, K, V, H, W)
+        mask_size = gt.shape[-1]
+        pred = self.upsample_masks(low, mask_size)  # (B*K, V, H, W)
+        validf = valid_k.reshape(B * K)
+        pred = jnp.where(validf[:, None, None, None], pred, 0.0)
+
+        is_heatmap = slot_oa.reshape(B * K)
+        pred_for_loss = jnp.where(
+            is_heatmap[:, None, None, None], jax.nn.sigmoid(pred), pred
+        )
+        slot_gt = batch["seg_slot_has_mask"].astype(bool)  # (B, K)
+        has_mask_f = (valid_k & slot_gt).reshape(B * K)
+        mask_bce, mask_dice, mask_l2 = L.combined_mask_losses(
+            pred_for_loss,
+            gt.reshape((B * K,) + gt.shape[2:]),
+            is_heatmap,
+            has_mask_f,
+            cfg.bce_loss_weight,
+            cfg.bce_loss_alpha,
+            cfg.dice_loss_weight,
+            cfg.dice_loss_scale,
+            n_rows=B,  # reference normalizes per ROW, not per token
+        )
+
+        pred_k = pred.reshape((B, K) + pred.shape[1:])
+        wh = slot_h.astype(pred.dtype)[..., None, None, None]
+        wo = (slot_oa | slot_oc).astype(pred.dtype)[..., None, None, None]
+        # <=1 human and <=1 object slot per K=2 Gen-Hu-Obj row: the sum
+        # SELECTS that slot's prediction for the row-level 3D lift losses
+        pred_h_row = (pred_k * wh).sum(axis=1)
+        pred_o_row = (pred_k * wo).sum(axis=1)
+        # 3D GT is a per-ROW field routed by the row's task (collate fills
+        # gt_hcontact/gt_oafford/gt_ocontact by task id), so the 3D losses
+        # keep task routing and additionally require the matching slot
+        row_h = is_h & jnp.any(slot_h, axis=1)
+        row_oa = is_oa & jnp.any(slot_oa, axis=1)
+        row_oc = is_oc & jnp.any(slot_oc, axis=1)
+
+        hC = oA = oC = jnp.float32(0.0)
+        if cfg.hC_loss_weight > 0 and "human_p2v" in batch:
+            hC = cfg.hC_loss_weight * L.human_contact_3d_loss(
+                pred_h_row, batch["gt_hcontact"],
+                batch["human_p2v"], batch["human_bary"],
+                row_h, batch["gt_hcontact"].shape[1],
+            )
+        if cfg.oC_loss_weight > 0 and "obj_p2p" in batch:
+            oA = cfg.oC_loss_weight * L.object_afford_3d_loss(
+                jax.nn.sigmoid(pred_o_row), batch["gt_oafford"],
+                batch["obj_p2p"], row_oa,
+            )
+        if cfg.oC_loss_weight > 0 and "obj_p2v" in batch:
+            oC = cfg.oC_loss_weight * L.object_contact_3d_loss(
+                pred_o_row, batch["gt_ocontact"],
+                batch["obj_p2v"], batch["obj_bary"],
+                batch["obj_valid_verts"], row_oc,
+            )
+
+        mask_loss = mask_bce + mask_dice + mask_l2
+        loss = ce_loss + mask_loss + hC + oA + oC
+        return {
+            "loss": loss,
+            "ce_loss": ce_loss,
+            "mask_bce_loss": mask_bce,
+            "mask_dice_loss": mask_dice,
+            "mask_l2_loss": mask_l2,
+            "mask_loss": mask_loss,
+            "hC_loss": hC,
+            "oA_loss": oA,
+            "oC_loss": oC,
+            "pred_masks": pred_k,
         }
 
     # ------------------------------------------------------------------

@@ -194,12 +194,19 @@ def combined_mask_losses(
     bce_loss_alpha: float = 0.5,
     dice_loss_weight: float = 1.0,
     dice_loss_scale: float = 1.0,
+    n_rows: int = 0,
 ):
     """2D mask losses over the batch (reference losses.py:42-72).
 
     has_mask: (B,) -- rows contributing mask losses (everything except VQA);
     all rows count in the binary-mask denominator like the reference's
     num_binary_masks (losses.py:67).
+
+    n_rows overrides the denominator for K-seg-slot batches flattened to
+    B*K entries: the reference normalizes per conversation ROW while a row
+    with two seg tokens contributes two mask sets (losses computed over
+    pred_masks[i] stacks, InteractVLM.py:436-442 + losses.py:54-72), so
+    the caller passes the ROW count.
     """
     focal = focal_mask_loss(pred_masks, gt_masks, is_heatmap, bce_loss_alpha)
     dice = dice_mask_loss(pred_masks, gt_masks, is_heatmap, dice_loss_scale)
@@ -209,7 +216,7 @@ def combined_mask_losses(
     # the reference increments num_binary_masks for EVERY batch row,
     # including VQA/empty-mask rows (losses.py:54-72) -- normalize by the
     # full batch so mixed batches weight mask losses identically
-    n_binary = jnp.float32(pred_masks.shape[0])
+    n_binary = jnp.float32(n_rows or pred_masks.shape[0])
     n_heat = jnp.sum(hm)
 
     mask_bce = bce_loss_weight * jnp.sum(focal * has_mask) / n_binary

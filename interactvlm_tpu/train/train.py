@@ -60,6 +60,11 @@ def parse_args(argv=None):
     p.add_argument("--model_max_length", type=int, default=512)
     # model
     p.add_argument("--token_type", default="Gen")
+    p.add_argument("--max_seg_tokens", type=int, default=0,
+                   help="seg-token slots supervised per row (reference "
+                        "trains one mask set per seg token, InteractVLM"
+                        ".py:389-410). 0 = auto: 2 for Gen-Hu-Obj/Gen-Int "
+                        "(a row can carry [HSEG]+[OSEG]), else 1")
     p.add_argument("--hC_sam_view_type", default="4MV-Z_Vitru_mv2")
     p.add_argument("--oC_sam_view_type", default="4MV-Z_HM")
     p.add_argument("--multiview_channels", type=int, default=4)
@@ -106,12 +111,29 @@ def parse_args(argv=None):
     p.add_argument("--val_every", type=int, default=1)
     p.add_argument("--val_batches", type=int, default=50,
                    help="max validation batches per epoch gate")
+    p.add_argument("--val_max_new_tokens", type=int, default=32,
+                   help="generation budget for the TRAIN-TIME epoch gate "
+                        "(short on purpose: the gate ranks checkpoints, "
+                        "it is not the reference-protocol eval; the eval "
+                        "CLI defaults to 512 like reference "
+                        "evaluate.py:104)")
     p.add_argument("--save_every", type=int, default=1)
     p.add_argument("--no_eval", action="store_true")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps")
     p.add_argument("--no_tensorboard", action="store_true")
     return p.parse_args(argv)
+
+
+def resolve_max_seg_tokens(args) -> int:
+    """0/absent = auto: 2 slots for the interaction token types whose rows
+    can carry both [HSEG] and [OSEG] (reference InteractVLM.py:389-410
+    decodes one mask set per token), 1 otherwise."""
+    k = getattr(args, "max_seg_tokens", 0)
+    if k:
+        return k
+    base = getattr(args, "token_type", "Gen").replace("-DifDe", "")
+    return 2 if base in ("Gen-Hu-Obj", "Gen-Int") else 1
 
 
 def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
@@ -127,9 +149,10 @@ def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
     from interactvlm_tpu import config as cfgs
     from interactvlm_tpu.models.interactvlm import InteractVLM
 
+    max_seg = resolve_max_seg_tokens(args)
     if args.synthetic:
         llama = cfgs.llama_tiny(lora_rank=args.lora_r and 4)
-        cfg = cfgs.interactvlm_tiny(llama=llama)
+        cfg = cfgs.interactvlm_tiny(llama=llama, max_seg_tokens=max_seg)
     elif getattr(args, "model_scale", "full") == "tiny":
         # tiny towers on the REAL data path (closed-loop learning tests)
         llama = cfgs.llama_tiny(lora_rank=args.lora_r and 4)
@@ -141,6 +164,7 @@ def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
         cfg = cfgs.interactvlm_tiny(
             llama=llama, **tiny_kw,
             token_type=args.token_type,
+            max_seg_tokens=max_seg,
             hC_sam_view_type=args.hC_sam_view_type,
             oC_sam_view_type=args.oC_sam_view_type,
             multiview_channels=args.multiview_channels,
@@ -174,6 +198,7 @@ def build_model_and_config(args, vocab_size=None, seg_token_idx=None,
             num_human_vertices=args.num_human_vertices,
             num_object_points=getattr(args, "num_object_points", 2048),
             token_type=args.token_type,
+            max_seg_tokens=max_seg,
             hC_sam_view_type=args.hC_sam_view_type,
             oC_sam_view_type=args.oC_sam_view_type,
             multiview_channels=args.multiview_channels,
@@ -288,6 +313,7 @@ def real_batch_iter(args, cfg, tokenizer):
                 num_human_vertices=cfg.num_human_vertices,
                 num_object_points=cfg.num_object_points,
                 num_conversations=getattr(args, "num_conversations", 1),
+                max_seg_tokens=cfg.max_seg_tokens,
             )
             yield batch
 
@@ -366,6 +392,7 @@ def make_validator(args, cfg, model, tokenizer, example, mesh=None):
         results, _ = validate(
             batches(), model, params, cfg, ds_name, mask_size,
             human_maps=human_maps, mesh=mesh,
+            max_new_tokens=getattr(args, "val_max_new_tokens", 32),
         )
         # contact F1 is the gate when available (reference train.py:434-453)
         return results.get("f1", results.get("giou", 0.0)), results

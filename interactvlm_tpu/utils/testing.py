@@ -105,7 +105,18 @@ def make_synthetic_batch(
     vocab = cfg.llama.vocab_size
     ids = rng.integers(4, min(vocab, 32000) - 1, (B, L)).astype(np.int32)
     ids[:, 1] = IMAGE_TOKEN_INDEX
-    ids[:, L - 2] = cfg.seg_token_idx
+    K = getattr(cfg, "max_seg_tokens", 1)
+    if K > 1:
+        # dual-token interaction rows: [HSEG] ... [OSEG] in one answer
+        # (reference Gen-Hu-Obj semantics, InteractVLM.py:389-410)
+        hseg = cfg.hseg_token_idx if cfg.hseg_token_idx > 0 else (
+            cfg.seg_token_idx)
+        oseg = cfg.oseg_token_idx if cfg.oseg_token_idx > 0 else (
+            cfg.seg_token_idx)
+        ids[:, L - 4] = hseg
+        ids[:, L - 2] = oseg
+    else:
+        ids[:, L - 2] = cfg.seg_token_idx
     labels = np.full((B, L), IGNORE_INDEX, np.int32)
     labels[:, L - 3 :] = ids[:, L - 3 :]
     labels[:, L - 3] = 9
@@ -117,13 +128,30 @@ def make_synthetic_batch(
 
     gt_masks = (rng.random((B, V, MASK, MASK)) > 0.7).astype(np.float32)
     gt_masks[:, :, :2] = -1.0
+    seg_slot_has_mask = None
+    if K > 1:
+        # K-slot GT: slot 0 = the row's primary mask, slot 1 = a second
+        # mask set for the row's other seg token, extra slots IGNORE
+        # (collate max_seg_tokens layout)
+        gtk = np.full((B, K, V, MASK, MASK), -1.0, np.float32)
+        gtk[:, 0] = gt_masks
+        second = (rng.random((B, V, MASK, MASK)) > 0.6).astype(np.float32)
+        second[:, :, :2] = -1.0
+        gtk[:, 1] = second
+        gt_masks = gtk
+        seg_slot_has_mask = np.zeros((B, K), np.float32)
+        seg_slot_has_mask[:, :2] = 1.0
 
     p2v = rng.integers(0, Nh, (V, MASK, MASK, 3)).astype(np.int32)
     p2v[:, : MASK // 2] = -1
     bary = rng.dirichlet([1, 1, 1], (V, MASK, MASK)).astype(np.float32)
     p2p = rng.integers(-1, P, (B, V, MASK, MASK)).astype(np.int32)
 
+    extra = {}
+    if seg_slot_has_mask is not None:
+        extra["seg_slot_has_mask"] = jnp.asarray(seg_slot_has_mask)
     return {
+        **extra,
         "input_ids": jnp.asarray(ids),
         "labels": jnp.asarray(labels),
         "images_clip": jnp.zeros((B, Sc, Sc, 3), jnp.float32),

@@ -158,3 +158,93 @@ def test_demo_cli_smoke(tmp_path):
     ])
     assert len(out) == 1
     assert (tmp_path / "out" / "chair__001_pred_masks.npy").exists()
+
+
+@pytest.mark.slow
+def test_demo_cli_output_bundle(tmp_path):
+    """The demo CLI ships the reference's full output bundle (reference
+    run_demo.py:436-558): contact-colored OBJ, 2x2 mask-overlay grid,
+    vertices npz -- and the h2dcontact original-frame mask path."""
+    from interactvlm_tpu.demo.run_demo import main
+    from interactvlm_tpu.fit.data_io import save_obj_mesh
+
+    rng = np.random.default_rng(0)
+
+    # hcontact: renders + lift maps + body template
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    Image.fromarray(
+        rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    ).save(img_dir / "chair__001.jpg")
+    renders = tmp_path / "renders"
+    os.makedirs(renders)
+    for name in ("topfront", "bottomfront", "topback", "bottomback"):
+        Image.fromarray(
+            np.full((64, 64, 3), 128, np.uint8)
+        ).save(renders / f"{name}.png")
+    NV = 178
+    p2v = rng.integers(0, NV, (4, 64, 64, 3)).astype(np.int32)
+    p2v[0, 0, 0] = NV - 1  # pin num_vertices
+    bary = rng.dirichlet([1, 1, 1], (4, 64, 64)).astype(np.float32)
+    np.savez(tmp_path / "maps.npz", p2v=p2v, bary=bary)
+    verts, faces = uv_sphere(n_lat=6, n_lon=8)
+    body = rng.normal(size=(NV, 3)).astype(np.float32)
+    save_obj_mesh(str(tmp_path / "body.obj"), body,
+                  np.array([[0, 1, 2], [1, 2, 3]]))
+
+    out_dir = tmp_path / "out_h"
+    main([
+        "--img_folder", str(img_dir),
+        "--output_folder", str(out_dir),
+        "--contact_type", "hcontact",
+        "--sam_renders_dir", str(renders),
+        "--human_maps", str(tmp_path / "maps.npz"),
+        "--body_template", str(tmp_path / "body.obj"),
+        "--random_weights", "--max_new_tokens", "4",
+    ])
+    grid = out_dir / "chair__001_hcontact_concat.jpg"
+    assert grid.exists()
+    g = np.asarray(Image.open(grid))
+    assert g.shape == (128, 128, 3)  # 2x2 of 64px renders
+    assert (out_dir / "chair__001_hcontact_vertices.npz").exists()
+    obj = out_dir / "chair__001_body_with_hcontacts.obj"
+    assert obj.exists()
+    vlines = [l for l in open(obj).read().splitlines()
+              if l.startswith("v ")]
+    assert len(vlines) == NV and len(vlines[0].split()) == 7
+
+    # ocontact: object mesh tree -> colored object OBJ + grid
+    obj_img_dir = tmp_path / "obj_imgs"
+    os.makedirs(obj_img_dir)
+    Image.fromarray(
+        rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    ).save(obj_img_dir / "mug__001.jpg")
+    save_obj_mesh(str(obj_img_dir / "object_mesh.obj"), verts, faces)
+    out_dir_o = tmp_path / "out_o"
+    main([
+        "--img_folder", str(obj_img_dir),
+        "--output_folder", str(out_dir_o),
+        "--contact_type", "ocontact",
+        "--random_weights", "--max_new_tokens", "4",
+    ])
+    oobj = out_dir_o / "mug__001_object_mesh_with_contacts_ocontact.obj"
+    assert oobj.exists()
+    vlines = [l for l in open(oobj).read().splitlines()
+              if l.startswith("v ")]
+    assert len(vlines) == len(verts)
+    assert (out_dir_o / "mug__001_ocontact_concat.jpg").exists()
+
+    # h2dcontact: original-frame mask + photo overlay
+    out_dir_2d = tmp_path / "out_2d"
+    main([
+        "--img_folder", str(img_dir),
+        "--output_folder", str(out_dir_2d),
+        "--contact_type", "h2dcontact",
+        "--random_weights", "--max_new_tokens", "4",
+    ])
+    om = out_dir_2d / "chair__001_pred_mask_original.npy"
+    assert om.exists()
+    assert np.load(om).shape == (40, 40)
+    ov = out_dir_2d / "chair__001_h2dcontact_overlay.jpg"
+    assert ov.exists()
+    assert np.asarray(Image.open(ov)).shape == (40, 40, 3)

@@ -293,3 +293,92 @@ def test_generate_mode_ocontact_lifts_per_sample_maps(tiny):
     )
     for k in ("f1", "precision", "recall"):
         assert k in results and np.isfinite(results[k]), (k, results)
+
+
+def test_late_seg_token_beyond_32_still_decodes_mask(tiny, monkeypatch):
+    """The seg token can be emitted AFTER position 32 of the answer (the
+    reference's 'parts' template answers run long, evaluate.py:104 budgets
+    512); the gather must pick it up wherever it lands in the generated
+    window (VERDICT r04 #3/#4)."""
+    from interactvlm_tpu.eval import evaluate as E
+
+    cfg, model, params = tiny
+    batch = make_batch(cfg)
+    B = np.asarray(batch["input_ids"]).shape[0]
+    T, H = 48, cfg.llama.hidden_size
+    rng = np.random.default_rng(0)
+    gen_ids = np.full((B, T), 7, np.int32)
+    gen_ids[:, 40] = cfg.seg_token_idx  # late emission
+    canned = {
+        "generated_ids": jnp.asarray(gen_ids),
+        "step_hidden": jnp.asarray(
+            rng.normal(size=(B, T, H)).astype(np.float32)),
+        "prompt_hidden": None, "prompt_spliced_ids": None,
+        "prompt_len": None,
+    }
+    monkeypatch.setattr(E, "greedy_generate", lambda *a, **k: canned)
+    human_maps = {
+        "p2v": batch["human_p2v"], "bary": batch["human_bary"],
+        "num_vertices": cfg.num_human_vertices,
+    }
+    out = E.evaluate_batch(
+        model, params, batch, cfg, MASK, contact_type="hcontact",
+        max_new_tokens=T, human_maps=human_maps,
+    )
+    assert out["has_seg"].all()
+    assert np.abs(out["pred_masks"]).max() > 0
+    # the mask really comes from the hidden state at position 40
+    hid = np.asarray(canned["step_hidden"]).copy()
+    hid[:, 40] += 1.0
+    canned2 = {**canned, "step_hidden": jnp.asarray(hid)}
+    monkeypatch.setattr(E, "greedy_generate", lambda *a, **k: canned2)
+    out2 = E.evaluate_batch(
+        model, params, batch, cfg, MASK, contact_type="hcontact",
+        max_new_tokens=T, human_maps=human_maps,
+    )
+    assert not np.allclose(out["pred_masks"], out2["pred_masks"])
+
+
+def test_validate_auto_budgets(tiny, monkeypatch):
+    """validate() defaults to the reference's 512-token eval budget
+    (evaluate.py:104) and auto-sets max_seg_tokens from the model config."""
+    from interactvlm_tpu.eval import evaluate as E
+
+    cfg, model, params = tiny
+    seen = {}
+
+    def fake_eval_batch(*a, **k):
+        seen.update(k)
+        B = np.asarray(a[2]["input_ids"]).shape[0]
+        V = cfg.multiview_channels
+        return {
+            "generated_ids": np.zeros((B, 4), np.int32),
+            "pred_masks": np.zeros((B, V, MASK, MASK), np.float32),
+            "pred_masks_original": None,
+            "pred_contact_3d": np.zeros(
+                (B, cfg.num_human_vertices), np.float32),
+            "has_seg": np.ones(B, bool),
+        }
+
+    monkeypatch.setattr(E, "evaluate_batch", fake_eval_batch)
+    batch = make_batch(cfg)
+    E.validate(iter([(batch, {"image_paths": ["x"] * 2,
+                              "sampled_classes_list": [["c"]] * 2})]),
+               model, params, cfg, "hcontact", MASK,
+               human_maps={"p2v": batch["human_p2v"],
+                           "bary": batch["human_bary"]})
+    assert seen["max_new_tokens"] == 512
+    assert seen["max_seg_tokens"] == 1
+
+    cfg2 = interactvlm_tiny(
+        token_type="Gen-Hu-Obj", hseg_token_idx=501, oseg_token_idx=502,
+        max_seg_tokens=2,
+    )
+    E.validate(iter([(batch, {"image_paths": ["x"] * 2,
+                              "sampled_classes_list": [["c"]] * 2})]),
+               model, params, cfg2, "hcontact", MASK,
+               human_maps={"p2v": batch["human_p2v"],
+                           "bary": batch["human_bary"]},
+               max_new_tokens=64)
+    assert seen["max_new_tokens"] == 64
+    assert seen["max_seg_tokens"] == 2

@@ -450,3 +450,101 @@ class TestGenHuObjTraining:
             float(jnp.abs(x).max()) > 0
             for x in jax.tree.leaves(g["cam_pose_encoder"])
         )
+
+
+class TestMultiSegTraining:
+    """forward_train with cfg.max_seg_tokens=2: the K-slot path the
+    interaction flagship trains through (VERDICT r04 #2; reference trains
+    one mask set per seg token, InteractVLM.py:389-410)."""
+
+    def _model(self):
+        cfg = interactvlm_tiny(
+            token_type="Gen-Hu-Obj-DifDe",
+            hseg_token_idx=501, oseg_token_idx=502,
+            max_seg_tokens=2,
+        )
+        model = InteractVLM(cfg)
+        batch = make_batch(cfg, tasks=(TASK_HCONTACT, TASK_OAFFORD))
+        params = model.init(jax.random.PRNGKey(0), batch)
+        return cfg, model, params, batch
+
+    def test_dual_token_row_trains_both_domain_decoders(self):
+        """A Gen-Hu-Obj row carrying [HSEG]+[OSEG] produces nonzero
+        gradients into BOTH domain decoders' mask losses (r04: the second
+        mask's gradient was silently dropped)."""
+        cfg, model, params, batch = self._model()
+        out = model.apply(params, batch)
+        assert out["pred_masks"].shape[:2] == (2, 2)  # (B, K, ...)
+        assert np.isfinite(float(out["loss"]))
+
+        def loss_fn(p):
+            return model.apply(p, batch)["mask_loss"]
+
+        g = jax.grad(loss_fn)(params)["params"]["sam"]
+        for name in ("human_mask_decoder", "object_mask_decoder"):
+            assert any(
+                float(jnp.abs(x).max()) > 0
+                for x in jax.tree.leaves(g[name])
+            ), f"{name} got no mask-loss gradient"
+
+    def test_second_slot_gt_changes_the_loss(self):
+        """Slot 1's GT must be SUPERVISED: flipping it changes mask_loss
+        (catches a K path that decodes two slots but scores only one)."""
+        cfg, model, params, batch = self._model()
+        base = float(model.apply(params, batch)["mask_loss"])
+        flipped = dict(batch)
+        gm = np.asarray(batch["gt_masks"]).copy()
+        gm[:, 1] = np.where(gm[:, 1] >= 0, 1.0 - gm[:, 1], gm[:, 1])
+        flipped["gt_masks"] = jnp.asarray(gm)
+        assert float(model.apply(params, flipped)["mask_loss"]) != base
+
+    def test_single_token_rows_match_k1_losses(self):
+        """Rows with ONE seg token must produce the same mask/3D losses
+        under the K=2 path as under the K=1 path (slot 1 invalid)."""
+        cfg1 = interactvlm_tiny(
+            token_type="Gen-Hu-Obj-DifDe",
+            hseg_token_idx=501, oseg_token_idx=502,
+        )
+        b1 = make_batch(cfg1, tasks=(TASK_HCONTACT, TASK_OAFFORD))
+        cfg2 = interactvlm_tiny(
+            token_type="Gen-Hu-Obj-DifDe",
+            hseg_token_idx=501, oseg_token_idx=502,
+            max_seg_tokens=2,
+        )
+        model2 = InteractVLM(cfg2)
+        b2k = make_batch(cfg2, tasks=(TASK_HCONTACT, TASK_OAFFORD))
+        params = model2.init(jax.random.PRNGKey(0), b2k)
+        # same K-batch, but demote to single-token rows: replace the
+        # [HSEG] with a plain token, leave one seg token per row, and
+        # invalidate slot 1's GT
+        ids = np.asarray(b2k["input_ids"]).copy()
+        L = ids.shape[1]
+        tok_kind = [cfg2.hseg_token_idx, cfg2.oseg_token_idx]
+        for r in range(ids.shape[0]):
+            ids[r, L - 4] = 7
+            ids[r, L - 2] = tok_kind[r % 2]
+        gm = np.asarray(b2k["gt_masks"]).copy()
+        gm[:, 1] = -1.0
+        slot = np.asarray(b2k["seg_slot_has_mask"]).copy()
+        slot[:, 1] = 0.0
+        bk = {**b2k, "input_ids": jnp.asarray(ids),
+              "gt_masks": jnp.asarray(gm),
+              "seg_slot_has_mask": jnp.asarray(slot)}
+        # equivalent K=1 batch
+        model1 = InteractVLM(cfg1)
+        b1 = {**bk}
+        b1["gt_masks"] = bk["gt_masks"][:, 0]
+        b1.pop("seg_slot_has_mask")
+        out_k = model2.apply(params, bk)
+        out_1 = model1.apply(params, b1)
+        for key in ("mask_bce_loss", "mask_dice_loss", "mask_l2_loss",
+                    "hC_loss", "oA_loss", "ce_loss"):
+            np.testing.assert_allclose(
+                float(out_k[key]), float(out_1[key]), rtol=1e-5,
+                err_msg=key,
+            )
+
+    def test_jit_compiles_k_path(self):
+        cfg, model, params, batch = self._model()
+        out = jax.jit(lambda p, b: model.apply(p, b)["loss"])(params, batch)
+        assert np.isfinite(float(out))
