@@ -163,6 +163,25 @@ def _flops_per_image(cfg, V, Lp, T, mask_size, include_sam=True):
 def main():
     import functools
 
+    if os.environ.get("BENCH_MODE", "serve") == "train":
+        # driver-regenerable train-step capture (VERDICT r04 #5): delegate
+        # to the hardened train probe; it prints the one JSON line.
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env.setdefault("PROBE_LLAMA", "7b")
+        env.setdefault("PROBE_INT8", "1")  # QLoRA: the 1-chip 7B config
+        env.setdefault("PROBE_B", os.environ.get("BENCH_BATCH", "2"))
+        env.setdefault("PROBE_OUT", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "TRAIN_r05.json"))
+        raise SystemExit(subprocess.call(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "train_step_probe.py")],
+            env=env,
+        ))
+
     from interactvlm_tpu.runtime.hostmem import tune_host_allocator
 
     tune_host_allocator()

@@ -272,3 +272,69 @@ def training_budget(cfg, batch: int, views: int, seq_len: int,
             cfg, batch, views, seq_len, n_data, n_model, remat
         ),
     })
+
+
+# ---------------------------------------------------------------------------
+# Analytic TP-2 throughput expectations (VERDICT r04 #8)
+# ---------------------------------------------------------------------------
+
+# v5e per-chip numbers (public): 819 GB/s HBM, ~197 bf16 TFLOP/s, and
+# 2 x ~45 GB/s one-way ICI links per axis.
+V5E_HBM_GBPS = 819.0
+V5E_ICI_GBPS = 45.0
+
+
+def tp2_throughput_estimates() -> Dict[str, Dict]:
+    """ANALYTIC (not measured) TP-2 expectations for the 13B rows that
+    single-chip HBM cannot hold, derived from the round-4 single-chip
+    measurements so the "needs TP-2" claims carry a falsifiable number.
+
+    Inputs (all measured on one v5e chip, committed artifacts):
+      - 13B-int8 cached-views serving, B=4: 4.31 img/s (`BENCH_13B.json`)
+        == 0.928 s per 4-image batch of the LLM+tail legs (the cached
+        path runs no SAM encode).
+      - SAM ViT-H int8 encode: 2711 ms per 8 images (`BENCH_r04.json`
+        legs line) == 1356 ms per 4 images; the encoder is identical at
+        7B/13B.
+      - 7B QLoRA train step B=2: 1845.8 ms (`TRAIN_7B_QLORA.json`).
+
+    Assumptions:
+      - The 13B decode/prefill legs are int8-weight-read bound, so TP-2
+        halves their per-chip HBM traffic; the per-layer all-reduces move
+        2 * layers * B * hidden bf16 bytes per token (~3 MB at B=4) over
+        ~45 GB/s ICI, <1% of the leg -- net scaling taken as 1.8x, not
+        2.0x, to cover collective latency and the unshardable tail.
+      - The frozen SAM encoder is DATA-sharded over the same 2 chips
+        (views split), scaling 2.0x (no collectives in forward).
+      - 13B training: LLaMA fwd+dx FLOPs scale from 7B by the matmul
+        param ratio ~1.92x; the SAM/CLIP legs are scale-invariant. The
+        measured 7B step is decomposed with the same analytic FLOPs split
+        used for train-MFU (scripts/train_step_probe.py), llama share
+        ~55%; TP-2 gives the llama share 1.8x and the rest 1.0x (frozen
+        encoder stays replicated at B=2 per chip).
+    """
+    # serving: measured cached B=4 covers clip+prefill+decode+tail+lift
+    t_llm_b4 = 4.0 / 4.3091           # s per 4-image batch (BENCH_13B)
+    t_sam_b4 = 2.711 / 2.0            # s per 4 images (BENCH_r04 legs)
+    t_llm_tp2 = t_llm_b4 / 1.8
+    t_sam_tp2 = t_sam_b4 / 2.0
+    serving = {
+        "cached_b4_tp2_img_per_s": round(4.0 / t_llm_tp2, 2),
+        "streaming_b4_tp2_img_per_s": round(
+            4.0 / (t_llm_tp2 + t_sam_tp2), 2),
+        "measured_cached_b4_1chip": 4.31,
+        "measured_streaming_b2_1chip": 1.33,
+    }
+    # training: scale the measured 7B QLoRA step
+    t7 = 1.8458                        # s/step (TRAIN_7B_QLORA)
+    llama_share = 0.55
+    t13_1chip = t7 * (llama_share * 1.92 + (1 - llama_share))
+    t13_tp2 = t7 * (llama_share * 1.92 / 1.8 + (1 - llama_share))
+    training = {
+        "qlora_b2_13b_tp2_ms_per_step": round(t13_tp2 * 1e3, 1),
+        "qlora_b2_13b_1chip_ms_per_step_if_it_fit": round(
+            t13_1chip * 1e3, 1),
+        "qlora_b2_7b_measured_ms": 1845.8,
+    }
+    return {"serving_13b": serving, "training_13b": training,
+            "analytic": True}

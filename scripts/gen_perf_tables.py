@@ -130,10 +130,39 @@ def table_train():
     return "\n".join(rows)
 
 
+def table_tp2():
+    sys.path.insert(0, ROOT)
+    from interactvlm_tpu.utils.memory import tp2_throughput_estimates
+
+    e = tp2_throughput_estimates()
+    sv, tr = e["serving_13b"], e["training_13b"]
+    return "\n".join([
+        "| 13B on TP-2 (ANALYTIC, not measured) | expectation "
+        "| measured 1-chip anchor |",
+        "|---|---|---|",
+        f"| cached views, B=4 | {sv['cached_b4_tp2_img_per_s']:.2f} img/s "
+        f"| {sv['measured_cached_b4_1chip']:.2f} img/s (`BENCH_13B.json`) |",
+        f"| streaming, B=4 | {sv['streaming_b4_tp2_img_per_s']:.2f} img/s "
+        f"| streaming B=2 {sv['measured_streaming_b2_1chip']:.2f} img/s "
+        "(`BENCH_13B_b2.json`) |",
+        f"| QLoRA train step, B=2 | "
+        f"{tr['qlora_b2_13b_tp2_ms_per_step']:.0f} ms/step | 7B measured "
+        f"{tr['qlora_b2_7b_measured_ms']:.1f} ms (`TRAIN_7B_QLORA.json`) |",
+        "",
+        "Derivation + assumptions: "
+        "`interactvlm_tpu/utils/memory.py:tp2_throughput_estimates` "
+        "(int8-weight-read legs scale 1.8x under TP-2 with per-layer "
+        "all-reduces <1% of the leg on ~45 GB/s ICI; the frozen SAM "
+        "encoder data-shards 2.0x; 13B training scales the measured 7B "
+        "step by the 1.92x matmul-param ratio on the ~55% LLaMA share).",
+    ])
+
+
 SECTIONS = {
     "7b-serving": table_7b,
     "13b-serving": table_13b,
     "train-step": table_train,
+    "tp2-analytic": table_tp2,
 }
 
 

@@ -13,8 +13,13 @@ B<=2; B=8 rides grad-accum (the reference's own mechanism, train.py:518).
 
   PROBE_LLAMA=7b PROBE_B=2 PROBE_ACCUM=4 python scripts/train_step_probe.py
 
-prints one JSON line: ms/step (median of PROBE_REPEATS windows),
-images/sec, and the per-chip budget prediction next to the measurement.
+prints one JSON line: ms/step (median of PROBE_REPEATS kept windows after
+an explicit discard-first warmup window -- r04's artifact let a 55.8 s
+axon-tunnel stall into the committed spread), images/sec, tokens/sec,
+an analytic train-MFU, and the per-chip budget prediction next to the
+measurement. PROBE_OUT=path writes the JSON artifact;
+``BENCH_MODE=train python bench.py`` drives this probe so the number is
+driver-regenerable.
 """
 
 import json
@@ -54,8 +59,10 @@ def main():
     V = int(os.environ.get("PROBE_VIEWS", "4"))
     L_TEXT = int(os.environ.get("PROBE_TEXT", "257"))  # spliced: +255 = 512
     mask_size = int(os.environ.get("PROBE_MASK", "1024"))
-    repeats = int(os.environ.get("PROBE_REPEATS", "3"))
-    steps_per_window = int(os.environ.get("PROBE_STEPS", "2"))
+    on_tpu = jax.devices()[0].platform != "cpu"
+    repeats = int(os.environ.get("PROBE_REPEATS", "5" if on_tpu else "3"))
+    steps_per_window = int(os.environ.get(
+        "PROBE_STEPS", "32" if on_tpu else "2"))
 
     int8_base = os.environ.get("PROBE_INT8", "0") == "1"
     if size == "tiny":  # CPU smoke of this probe itself
@@ -116,16 +123,39 @@ def main():
         assert np.isfinite(loss)
 
         times = []
-        for _ in range(repeats):
+        for w in range(repeats + 1):  # +1: discard-first warmup window
             t0 = time.perf_counter()
             for _ in range(steps_per_window):
                 state, metrics = step_fn(state, batch)
             loss = float(np.asarray(jax.device_get(metrics["loss"])))
             assert np.isfinite(loss)
-            times.append((time.perf_counter() - t0) / steps_per_window)
+            dt = (time.perf_counter() - t0) / steps_per_window
+            log(f"window {w}: {dt * 1e3:.1f} ms/step"
+                + (" (discarded warmup)" if w == 0 else ""))
+            if w > 0:
+                times.append(dt)
 
     ms = float(np.median(times)) * 1e3
     eff_b = B * accum
+
+    # analytic train-MFU: SAM encoder runs forward-only (frozen +
+    # stop_gradient, models/interactvlm.py:encode_sam_images); the LLaMA
+    # base and CLIP are frozen so their backward is activation-grads only
+    # (one dx matmul per forward matmul, no dW) => ~2x forward; LoRA /
+    # decoder-head dW terms are <1% and ride the 2% pad.
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import (V5E_BF16_PEAK_FLOPS, _flops_per_image,
+                       _llama_matmul_params)
+
+    Lp = L_TEXT + 255
+    p_l = _llama_matmul_params(lcfg)
+    f_llama = 2 * p_l * Lp
+    f_total = _flops_per_image(cfg, V, Lp, 0, mask_size)  # fwd, all legs
+    f_sam_clip = f_total / 1.02 - f_llama  # forward-only legs
+    f_train = 1.02 * (f_sam_clip + 2 * f_llama) * eff_b
+    train_mfu = (f_train / (ms / 1e3) / V5E_BF16_PEAK_FLOPS
+                 if size != "tiny" else 0.0)
+    tokens_per_sec = eff_b * Lp / (ms / 1e3)
     print(json.dumps({
         "metric": f"train_step_ms_llama{size}"
                   f"{'-int8base' if int8_base else ''}_lora{lcfg.lora_rank}_"
@@ -138,7 +168,33 @@ def main():
         "budget_gib": round(bud.total / 2**30, 2),
         "budget_fits": bud.fits(),
         "final_loss": round(loss, 4),
-    }))
+        "steps_per_window": steps_per_window,
+        "n_windows": repeats,
+        "batch_size": B,
+        "seq_len": Lp,
+        "tokens_per_sec": round(tokens_per_sec, 1),
+        "train_mfu": round(train_mfu, 4),
+    }, ))
+    if os.environ.get("PROBE_OUT"):
+        with open(os.environ["PROBE_OUT"], "w") as f:
+            json.dump({
+                "metric": f"train_step_ms_llama{size}"
+                          f"{'-int8base' if int8_base else ''}_"
+                          f"lora{lcfg.lora_rank}_b{B}x{accum}_{V}view_"
+                          f"seq{Lp}_mask{mask_size}",
+                "value": round(ms, 1), "unit": "ms/step",
+                "spread_ms": [round(min(times) * 1e3, 1),
+                              round(max(times) * 1e3, 1)],
+                "images_per_sec": round(eff_b / (ms / 1e3), 3),
+                "tokens_per_sec": round(tokens_per_sec, 1),
+                "train_mfu": round(train_mfu, 4),
+                "steps_per_window": steps_per_window,
+                "n_windows": repeats,
+                "batch_size": B, "seq_len": Lp,
+                "budget_gib": round(bud.total / 2**30, 2),
+                "budget_fits": bud.fits(),
+                "final_loss": round(loss, 4),
+            }, f, indent=2)
 
 
 if __name__ == "__main__":
