@@ -488,6 +488,10 @@ def validate(
                   batch["obj_bary"]))
 
         gt_masks = np.asarray(batch["gt_masks"])
+        if gt_masks.ndim == 5:
+            # K-slot training batches (collate max_seg_tokens>1): score
+            # the back-compat first-token pred against slot 0's GT
+            gt_masks = gt_masks[:, 0]
         for b in range(pred_masks.shape[0]):
             i, u, acc = M.segmentation_metrics(pred_masks[b], gt_masks[b])
             inter_m.update(i)

@@ -584,13 +584,16 @@ def main(argv=None):
                 # image panel: CLIP | SAM view | pred | GT on one sample
                 # (reference utils/utils.py:457-470)
                 fwd = panel_fn(state.params, first_micro)
+                pm = np.asarray(fwd["pred_masks"])
+                gm = np.asarray(first_micro["gt_masks"])
+                if pm.ndim == 5:  # K-seg-slot path: panel shows slot 0
+                    pm, gm = pm[:, 0], gm[:, 0]
                 logger.log_images(
                     int(state.step), "val/panel",
                     mask_panel(
                         np.asarray(first_micro["images_clip"][0]),
                         np.asarray(first_micro["sam_images"][0, 0]),
-                        np.asarray(fwd["pred_masks"][0, 0]),
-                        np.asarray(first_micro["gt_masks"][0, 0]),
+                        pm[0, 0], gm[0, 0],
                     ),
                 )
                 print(f"epoch {epoch} val: "

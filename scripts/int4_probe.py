@@ -84,7 +84,10 @@ def _stacks(dtype, lo, hi):
     qkvo = _dev_int(keys[0], (NL, 4, H, H), lo, hi, dtype)
     gateup = _dev_int(keys[1], (NL, 2, H, I), lo, hi, dtype)
     down = _dev_int(keys[2], (NL, I, H), lo, hi, dtype)
-    float(np.asarray(jax.device_get(down[0, 0, 0].astype(jnp.int8))))
+    # sync INSIDE jit: eager slicing of s4 arrays trips a device_put
+    # RecursionError in this jax build
+    v = jax.jit(lambda a: a[0, 0, :8].astype(jnp.int32).sum())(down)
+    float(np.asarray(jax.device_get(v)))
     return qkvo, gateup, down
 
 
