@@ -265,12 +265,17 @@ def main():
     timing_repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    # BENCH_WQ=int4: packed split-half int4 LLaMA weights (Int4Dense,
+    # ops/quant.py) -- measured 1.38x the int8 decode weight-read leg
+    # (INT4_PROBE.json) and halves the 13B weight footprint again
+    # (~13.9 -> ~7 GiB), freeing HBM for bigger cached batches.
+    wkw = dict(weights_int8=wq == "int8", weights_int4=wq == "int4")
     if llama_size == "13b":
-        lcfg = llama_13b(dtype=dtype, remat=False, weights_int8=wq == "int8")
+        lcfg = llama_13b(dtype=dtype, remat=False, **wkw)
     elif llama_size == "7b":
-        lcfg = llama_7b(dtype=dtype, remat=False, weights_int8=wq == "int8")
+        lcfg = llama_7b(dtype=dtype, remat=False, **wkw)
     else:
-        lcfg = llama_tiny(dtype=dtype, weights_int8=wq == "int8")
+        lcfg = llama_tiny(dtype=dtype, **wkw)
     # serving numerics: tanh GELU in the SAM encoder (<=3e-3 activation
     # deviation vs exact erf, ~10% of encode wall time on the v5e VPU).
     # The encoder matmuls default to int8 x int8 through the fused Pallas

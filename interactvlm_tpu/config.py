@@ -160,6 +160,11 @@ class LlamaConfig:
     # reference's bitsandbytes 8-bit role, run_demo.py:106-129). Halves
     # weight HBM bytes -- the decode loop is weight-bandwidth-bound.
     weights_int8: bool = False
+    # int4 serving weights: packed split-half nibbles + rank-1 group scales
+    # (ops/quant.py, measured 1.38x the int8 decode leg, INT4_PROBE.json).
+    # The reference's bnb load_in_4bit role (run_demo.py:106-129).
+    # Serving-only; takes precedence over weights_int8 in the dense layers.
+    weights_int4: bool = False
 
     @property
     def padded_vocab_size(self) -> int:

@@ -25,7 +25,10 @@ from interactvlm_tpu.ops import dot_product_attention
 KVCache = Dict[str, Any]  # {"k": (B,L,nkv,d), "v": ..., "index": scalar}
 
 
-def _dense(features, axes, name, dtype, use_bias=False, int8=False):
+def _dense(features, axes, name, dtype, use_bias=False, int8=False,
+           int4=False):
+    if int4:
+        return Int4Dense(features, axes, dtype, name=name)
     if int8:
         return Int8Dense(features, axes, dtype, name=name)
     return nn.Dense(
@@ -109,6 +112,60 @@ class Int8Dense(nn.Module):
             y = nn.gelu(y, approximate=False)
         elif self.activation == "gelu_tanh":
             y = nn.gelu(y, approximate=True)
+        return y
+
+
+class Int4Dense(nn.Module):
+    """Dense layer with packed split-half int4 weights (ops/quant.py).
+
+    Params: ``kernel_q4`` (K/2, N) int8 (two nibbles per byte),
+    ``kernel_scale`` (1, N) f32 per-output-column, ``kernel_rf`` (K,) f32
+    rank-1 group row factor applied to the activation. Measured 1.38x the
+    int8 weight-read leg at 7B decode shapes on the real chip
+    (INT4_PROBE.json); the decode loop is weight-bandwidth-bound so this
+    is HBM bytes, not MXU throughput. Serving-only: QLoRA training keeps
+    the int8 base. Beyond the reference's bnb 8-bit role
+    (``run_demo.py:106-129``) -- its 4-bit load_in_4bit path is the
+    parity target here.
+    """
+
+    features: int
+    axes: tuple
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, bias=None):
+        from interactvlm_tpu.ops.quant import int4_matmul
+
+        k = x.shape[-1]
+        # random full-range bytes = two independent random nibbles (bench /
+        # tests init; real checkpoints convert via utils/weights)
+        q4 = self.param(
+            "kernel_q4",
+            nn.with_logical_partitioning(_int8_kernel_init, self.axes),
+            (k // 2, self.features),
+        )
+        scale = self.param(
+            "kernel_scale",
+            nn.with_logical_partitioning(
+                lambda key, shape: jnp.full(
+                    shape, 1.0 / (7.0 * (k ** 0.5)), jnp.float32
+                ),
+                (None, self.axes[-1]),
+            ),
+            (1, self.features),
+        )
+        rf = self.param(
+            "kernel_rf",
+            nn.with_logical_partitioning(
+                lambda key, shape: jnp.ones(shape, jnp.float32),
+                (self.axes[0],),
+            ),
+            (k,),
+        )
+        y = int4_matmul(x, q4, scale, rf, dtype=self.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -222,11 +279,11 @@ class LlamaAttention(nn.Module):
             )(x)
         else:
             q = _dense(nh * d, ("embed", "heads"), "q_proj", cfg.dtype,
-                       int8=cfg.weights_int8)(x)
+                       int8=cfg.weights_int8, int4=cfg.weights_int4)(x)
             v = _dense(nkv * d, ("embed", "kv_heads"), "v_proj", cfg.dtype,
-                       int8=cfg.weights_int8)(x)
+                       int8=cfg.weights_int8, int4=cfg.weights_int4)(x)
         k = _dense(nkv * d, ("embed", "kv_heads"), "k_proj", cfg.dtype,
-                   int8=cfg.weights_int8)(x)
+                   int8=cfg.weights_int8, int4=cfg.weights_int4)(x)
         q = q.reshape(B, L, nh, d)
         k = k.reshape(B, L, nkv, d)
         v = v.reshape(B, L, nkv, d)
@@ -367,7 +424,7 @@ class LlamaAttention(nn.Module):
                 )
         out = out.transpose(0, 2, 1, 3).reshape(B, L, nh * d)
         out = _dense(cfg.hidden_size, ("heads", "embed"), "o_proj", cfg.dtype,
-                     int8=cfg.weights_int8)(out)
+                     int8=cfg.weights_int8, int4=cfg.weights_int4)(out)
         return out, new_cache
 
 
@@ -377,13 +434,13 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        i8 = cfg.weights_int8
+        i8, i4 = cfg.weights_int8, cfg.weights_int4
         gate = _dense(cfg.intermediate_size, ("embed", "mlp"), "gate_proj",
-                      cfg.dtype, int8=i8)(x)
+                      cfg.dtype, int8=i8, int4=i4)(x)
         up = _dense(cfg.intermediate_size, ("embed", "mlp"), "up_proj",
-                    cfg.dtype, int8=i8)(x)
+                    cfg.dtype, int8=i8, int4=i4)(x)
         return _dense(cfg.hidden_size, ("mlp", "embed"), "down_proj",
-                      cfg.dtype, int8=i8)(nn.silu(gate) * up)
+                      cfg.dtype, int8=i8, int4=i4)(nn.silu(gate) * up)
 
 
 class LlamaBlock(nn.Module):
@@ -478,6 +535,7 @@ class LlamaForCausalLM(nn.Module):
             "lm_head",
             self.config.dtype,
             int8=self.config.weights_int8 and self.config.lora_rank == 0,
+            int4=self.config.weights_int4 and self.config.lora_rank == 0,
         )
 
     def logits(self, h):

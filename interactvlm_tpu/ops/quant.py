@@ -124,6 +124,100 @@ def dequantize_params(params, dtype=jnp.bfloat16):
     return walk(params)
 
 
+# --- int4 packed weights (split-half nibble layout) -------------------------
+#
+# Decode is weight-bandwidth-bound (ops/README.md decode decomposition);
+# int4 halves the weight bytes again over int8. Storage is the one form the
+# real chip both accepts as a jit ARGUMENT and runs fast (scripts/
+# int4_probe.py, INT4_PROBE.json): two nibbles per int8 byte in a
+# SPLIT-HALF layout -- byte j of the packed (K/2, N) array holds w[j] in
+# the low nibble and w[j + K/2] in the high. Unpacking is two arithmetic
+# shifts and each matmul becomes two half-K int8 MXU dots against the
+# matching halves of x: measured 1.38x the int8 leg at 7B decode shapes
+# (raw s4 storage is 1.69x but s4 arrays cannot be passed as jit arguments
+# on this backend; per-group scale application via a batched-group dot is
+# 1.21x -- both recorded in INT4_PROBE.json).
+#
+# Accuracy layout: rank-1 group scales. True group-128 scales S[g, n]
+# cannot ride a single dot; instead S is factored as r[g] * c[n] -- the
+# per-group row factor ``rf`` (expanded to K) multiplies the ACTIVATION
+# before its int8 quantization (y_n = c_n * sum_k (x_k * rf_k) * q_kn), and
+# the per-output-column scale ``c`` rescales the int32 accumulator. For
+# i.i.d. weights rf is ~flat and accuracy equals plain per-column int4;
+# for real checkpoints with structured row energies rf recovers most of
+# the group-wise win at zero extra dot cost.
+
+
+def quantize_int4(w, group: int = 128):
+    """Quantize a (K, N) kernel to packed split-half int4.
+
+    Returns (q4 int8 (K/2, N), col_scale f32 (1, N), row_factor f32 (K,)).
+    Dequant model: W[k, n] ~= row_factor[k] * col_scale[n] * q[k, n] with
+    q in [-8, 7]. K must be even; when ``group`` divides K the row factor
+    is the per-128-group mean absmax (rank-1 group scaling), else flat 1.
+    """
+    K, N = w.shape
+    if K % 2 != 0:
+        raise ValueError(f"int4 packing needs even K, got {K}")
+    wf = w.astype(jnp.float32)
+    if group > 0 and K % group == 0 and K >= 2 * group:
+        amax_g = jnp.max(
+            jnp.abs(wf.reshape(K // group, group, N)), axis=1
+        )  # (G, N)
+        r_g = jnp.maximum(jnp.mean(amax_g, axis=1), 1e-8)  # (G,)
+        rf = jnp.repeat(r_g, group)  # (K,)
+    else:
+        rf = jnp.ones((K,), jnp.float32)
+    wn = wf / rf[:, None]
+    col_scale = jnp.maximum(jnp.max(jnp.abs(wn), axis=0), 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wn / col_scale[None, :]), -8, 7).astype(jnp.int8)
+    lo, hi = q[: K // 2], q[K // 2 :]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, jnp.int8(0x0F)),
+        jax.lax.shift_left(hi, jnp.int8(4)),
+    )
+    return packed, col_scale[None, :], rf
+
+
+def unpack_int4(packed):
+    """Split a packed (K/2, N) int8 array back into (lo, hi) int8 nibbles
+    (arithmetic shifts keep the sign)."""
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(packed, jnp.int8(4)), jnp.int8(4)
+    )
+    hi = jax.lax.shift_right_arithmetic(packed, jnp.int8(4))
+    return lo, hi
+
+
+def dequantize_int4(packed, col_scale, row_factor, dtype=jnp.float32):
+    """Materialize the dense kernel (tests / conversion checks only)."""
+    lo, hi = unpack_int4(packed)
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    return (q * row_factor[:, None] * col_scale).astype(dtype)
+
+
+def int4_matmul(x, packed, col_scale, row_factor, dtype=jnp.bfloat16):
+    """x (…, K) @ packed-int4 W (K/2, N) -> (…, N).
+
+    The row factor rides the activation (one VPU multiply), the activation
+    is int8-quantized per row, and the contraction runs as two half-K
+    int8xint8 MXU dots against the shift-unpacked nibbles. Serving-only
+    (no custom VJP): the int4 base is never trained -- QLoRA stays on the
+    int8 base (Int8Dense / LoraDense).
+    """
+    xq, xs = quantize_int8(x.astype(jnp.float32) * row_factor, axis=-1)
+    Kh = packed.shape[0]
+    lo, hi = unpack_int4(packed)
+    cdims = (((x.ndim - 1,), (0,)), ((), ()))
+    a = jax.lax.dot_general(
+        xq[..., :Kh], lo, cdims, preferred_element_type=jnp.int32
+    )
+    b = jax.lax.dot_general(
+        xq[..., Kh:], hi, cdims, preferred_element_type=jnp.int32
+    )
+    return ((a + b).astype(jnp.float32) * xs * col_scale).astype(dtype)
+
+
 # --- int8 KV cache ---------------------------------------------------------
 def init_kv_cache_int8(config, batch: int, max_len: int):
     """Per-layer int8 KV caches with per-position/head scales.

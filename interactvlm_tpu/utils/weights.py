@@ -340,6 +340,30 @@ def int8_serving_params(params: Dict, targets=_INT8_TARGETS) -> Dict:
     return walk("", params)
 
 
+def int4_serving_params(params: Dict, targets=_INT8_TARGETS) -> Dict:
+    """Convert trained bf16 LLaMA kernels to the ``Int4Dense`` layout
+    (kernel -> kernel_q4 packed int8 + kernel_scale f32 per output column
+    + kernel_rf f32 rank-1 group row factor), for a model built with
+    ``LlamaConfig(weights_int4=True)``.
+
+    Serving analog of the reference's bnb 4-bit load (run_demo.py:106-129,
+    ``load_in_4bit``); merge LoRA first (``merge_lora``).
+    """
+    from interactvlm_tpu.ops.quant import quantize_int4
+
+    import jax.numpy as jnp
+
+    def walk(name, node):
+        if isinstance(node, dict):
+            if name in targets and set(node) == {"kernel"}:
+                q4, s, rf = quantize_int4(jnp.asarray(node["kernel"]))
+                return {"kernel_q4": q4, "kernel_scale": s, "kernel_rf": rf}
+            return {k: walk(k, v) for k, v in node.items()}
+        return node
+
+    return walk("", params)
+
+
 # QLoRA training layout: the frozen base kernels (incl. the ``base``
 # sub-module of LoraDense q/v) go int8; lm_head stays in the compute
 # dtype because it is TRAINABLE (reference train.py:316-322), as do the

@@ -63,6 +63,137 @@ def test_param_tree_quantization_halves_memory():
     assert float(jnp.abs(probs1 - probs2).max()) < 0.05
 
 
+def test_quantize_int4_pack_roundtrip():
+    """Packing is lossless over the quantized grid: unpack(pack(q)) == q,
+    and dequantize_int4 reproduces rf * scale * q exactly."""
+    from interactvlm_tpu.ops.quant import (
+        dequantize_int4,
+        quantize_int4,
+        unpack_int4,
+    )
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(256, 96)).astype(np.float32)) * 0.05
+    q4, scale, rf = quantize_int4(w, group=128)
+    assert q4.shape == (128, 96) and q4.dtype == jnp.int8
+    assert scale.shape == (1, 96) and rf.shape == (256,)
+    lo, hi = unpack_int4(q4)
+    assert int(jnp.max(lo)) <= 7 and int(jnp.min(lo)) >= -8
+    assert int(jnp.max(hi)) <= 7 and int(jnp.min(hi)) >= -8
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    want = q * rf[:, None] * scale
+    got = dequantize_int4(q4, scale, rf)
+    assert np.allclose(np.asarray(got), np.asarray(want))
+    # dequant tracks the source kernel at int4 resolution
+    rel = float(jnp.abs(got - w).max() / jnp.abs(w).max())
+    assert rel < 0.2, rel
+
+
+def test_int4_matmul_close_to_fp32():
+    from interactvlm_tpu.ops.quant import int4_matmul, quantize_int4
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32))
+    q4, s, rf = quantize_int4(w)
+    got = np.asarray(int4_matmul(x, q4, s, rf, dtype=jnp.float32))
+    want = np.asarray(x @ w)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    # int4 grid noise dominates (rel RMSE ~0.12 on Gaussian weights,
+    # INT4_PROBE.json) -- the serving bar is argmax stability, tested below
+    assert rel < 0.35, rel
+    rel_rmse = np.sqrt(((got - want) ** 2).mean() / (want ** 2).mean())
+    assert rel_rmse < 0.2, rel_rmse
+
+
+def test_int4_rank1_row_factor_recovers_group_structure():
+    """Weights whose row-group energies vary wildly (the case group-wise
+    scales exist for): the rank-1 row factor must recover most of the
+    accuracy that flat per-column int4 loses."""
+    from interactvlm_tpu.ops.quant import dequantize_int4, quantize_int4
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(512, 64)).astype(np.float32)
+    # group g of 128 rows scaled by 8^g: per-column absmax is dominated by
+    # the last group, crushing the first groups' resolution without rf
+    for g in range(4):
+        w[g * 128 : (g + 1) * 128] *= 8.0 ** g
+    wj = jnp.asarray(w)
+
+    def worst_group_rel_rmse(deq):
+        """Per-group relative RMSE, worst group: a whole-matrix RMSE is
+        dominated by the loudest group under either scheme; the quantity
+        group scales protect is the QUIET groups' resolution."""
+        d = np.asarray(deq - wj).reshape(4, 128, 64)
+        t = np.asarray(wj).reshape(4, 128, 64)
+        per = np.sqrt((d ** 2).mean((1, 2)) / (t ** 2).mean((1, 2)))
+        return float(per.max())
+
+    q4, s, rf = quantize_int4(wj, group=128)
+    err_rank1 = worst_group_rel_rmse(dequantize_int4(q4, s, rf))
+    q4f, sf, rff = quantize_int4(wj, group=0)  # flat rf=1
+    assert np.allclose(np.asarray(rff), 1.0)
+    err_flat = worst_group_rel_rmse(dequantize_int4(q4f, sf, rff))
+    # without rf the quietest group collapses to ~zero (rel err ~1); with
+    # rf every group keeps int4-grid resolution
+    assert err_flat > 0.7, err_flat
+    assert err_rank1 < 0.3, err_rank1
+
+
+def test_int4_dense_weights_serving_path():
+    """A model built with weights_int4=True consumes params converted by
+    int4_serving_params and keeps the dense model's greedy path on the
+    tiny config (the reference's bnb load_in_4bit serving role,
+    run_demo.py:106-129)."""
+    from interactvlm_tpu.utils.weights import int4_serving_params
+
+    cfg = llama_tiny()
+    model = LlamaForCausalLM(cfg)
+    key = jax.random.PRNGKey(0)
+    ids = jax.random.randint(key, (2, 12), 4, cfg.vocab_size)
+    params = model.init(key, ids)
+    dense_logits, _ = model.apply(params, ids)
+
+    import dataclasses
+
+    import flax.linen as nn
+
+    qcfg = dataclasses.replace(cfg, weights_int4=True)
+    qmodel = LlamaForCausalLM(qcfg)
+    qparams = {"params": int4_serving_params(nn.meta.unbox(params["params"]))}
+    want = jax.tree_util.tree_structure(
+        nn.meta.unbox(qmodel.init(key, ids))
+    )
+    got = jax.tree_util.tree_structure(qparams)
+    assert want == got
+    q_logits, _ = qmodel.apply(qparams, ids)
+    # tiny random weights have near-flat logits (and K=64 is below the
+    # group-scale threshold), so the greedy bar is looser than int8's;
+    # distributional closeness is the primary check
+    assert (
+        np.asarray(dense_logits.argmax(-1)) == np.asarray(q_logits.argmax(-1))
+    ).mean() > 0.6
+    pd = jax.nn.softmax(dense_logits.astype(jnp.float32), -1)
+    pq = jax.nn.softmax(q_logits.astype(jnp.float32), -1)
+    assert float(jnp.abs(pd - pq).max()) < 0.15
+    # int4 weight bytes are half the int8 layout's (the point of the mode)
+    int4_bytes = sum(
+        x.size
+        for x in jax.tree.leaves(qparams)
+        if getattr(x, "dtype", None) == jnp.int8
+    )
+    from interactvlm_tpu.utils.weights import int8_serving_params
+
+    int8_bytes = sum(
+        x.size
+        for x in jax.tree.leaves(
+            {"params": int8_serving_params(nn.meta.unbox(params["params"]))}
+        )
+        if getattr(x, "dtype", None) == jnp.int8
+    )
+    assert int4_bytes * 2 == int8_bytes
+
+
 def test_int8_kv_cache_decode_matches_dense():
     """Decode with the int8 cache must track the dense-cache logits."""
     cfg = llama_tiny()
