@@ -695,6 +695,7 @@ def main():
                                   round(cached_ips / base_lo, 4)],
             "mfu": round(mfu_c, 4),
             "flops_per_image_cached": flops_c,
+            "cache_batch": Bc,
         })
     else:
         record.update({

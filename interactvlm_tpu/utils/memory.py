@@ -57,10 +57,18 @@ def llama_param_bytes(cfg, tp: int = 1) -> int:
         d * (cfg.num_heads + 2 * cfg.num_kv_heads) + h
         + 2 * cfg.intermediate_size + h
     ) + (cfg.vocab_size if cfg.lora_rank == 0 else 0)
-    kernel_bytes = (
-        matmul * 1 + scale_out * 4 if cfg.weights_int8
-        else matmul * _dtype_bytes(cfg.dtype)
-    )
+    int4 = bool(getattr(cfg, "weights_int4", False))
+    if int4 and cfg.lora_rank == 0:
+        # packed split-half nibbles: 0.5 byte/param + f32 per-column
+        # scales + f32 per-input-row group factors (ops/quant.py)
+        rf_rows = cfg.num_layers * (
+            5 * h + cfg.num_heads * d + cfg.intermediate_size
+        ) + h  # lm_head rf
+        kernel_bytes = matmul // 2 + scale_out * 4 + rf_rows * 4
+    elif cfg.weights_int8:
+        kernel_bytes = matmul * 1 + scale_out * 4
+    else:
+        kernel_bytes = matmul * _dtype_bytes(cfg.dtype)
     embed = cfg.vocab_size * h * trainable_db
     norms = (2 * cfg.num_layers + 1) * h * 4  # RMSNorm gains kept f32-ish
     return (kernel_bytes + head_bytes + norms + extra) // tp + embed

@@ -89,6 +89,19 @@ def table_13b():
         f"{_spread(b2['uncached_value'], b2['uncached_spread'])} | "
         f"{b2['uncached_vs_baseline']:.2f}x |",
     ]
+    i4_path = os.path.join(ROOT, "BENCH_13B_INT4.json")
+    if os.path.exists(i4_path):
+        i4 = _load("BENCH_13B_INT4.json")
+        i4 = i4.get("parsed", i4)
+        bc = i4.get("cache_batch") or i4["metric"].split("_b")[-1]
+        rows.append(
+            "| **int4 weights**, cached views, "
+            f"B={bc} (`BENCH_13B_INT4.json`) | "
+            f"**{_spread(i4['value'], i4['value_spread'])}** | "
+            f"**{i4['vs_baseline']:.2f}x** (band "
+            f"{i4['vs_baseline_range'][0]:.2f}–"
+            f"{i4['vs_baseline_range'][1]:.2f}) |"
+        )
     return "\n".join(rows)
 
 

@@ -186,3 +186,23 @@ def test_qlora_param_bytes_matches_live_tree():
     live = _tree_bytes(nn.meta.unbox(params))
     est = llama_param_bytes(dataclasses.replace(cfg, dtype=jnp.float32))
     assert abs(est - live) / live < 0.15, (est, live)
+
+
+def test_int4_param_bytes_matches_live_tree():
+    """llama_param_bytes must track the Int4Dense serving layout: packed
+    nibble kernels (0.5 B/param) + f32 column scales + f32 row factors."""
+    from interactvlm_tpu.models.llama import LlamaForCausalLM
+    import flax.linen as nn
+
+    cfg = llama_tiny(weights_int4=True)
+    model = LlamaForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    live = _tree_bytes(nn.meta.unbox(params))
+    est = llama_param_bytes(dataclasses.replace(cfg, dtype=jnp.float32))
+    assert abs(est - live) / live < 0.15, (est, live)
+    # and the 13B point the serving capture relies on: int4 roughly halves
+    # the int8 weight bytes (docstring budget, no live tree at 13B here)
+    from interactvlm_tpu.config import llama_13b
+    i8 = llama_param_bytes(llama_13b(dtype=jnp.bfloat16, weights_int8=True))
+    i4 = llama_param_bytes(llama_13b(dtype=jnp.bfloat16, weights_int4=True))
+    assert 0.45 < i4 / i8 < 0.60, (i4, i8)
