@@ -1,0 +1,78 @@
+#!/bin/bash
+# Round-5 real-chip captures (run when the axon tunnel is healthy):
+#   1. TRAIN_r05.json      -- hardened 7B QLoRA train step, B=2 (+ B=4 probe)
+#   2. BENCH_13B_INT4.json -- 13B int4-weight cached serving, Bc=8
+#   3. BENCH_13B_INT4_b4.json -- same at Bc=4 (apples-to-apples vs int8)
+# then regenerates the README perf tables from the artifacts.
+# Each step logs to stderr and continues on failure so one bad capture
+# doesn't lose the others.
+set -u
+cd "$(dirname "$0")/.."
+
+probe_tunnel() {
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+print(float(jax.jit(lambda x: (x*2).sum())(jnp.ones(8))))" >/dev/null 2>&1
+}
+
+echo "[captures] probing tunnel..." >&2
+if ! probe_tunnel; then
+  echo "[captures] tunnel DOWN -- aborting" >&2
+  exit 2
+fi
+echo "[captures] tunnel healthy" >&2
+
+echo "[captures] 1/4 train step B=2 (TRAIN_r05.json)" >&2
+BENCH_MODE=train BENCH_BATCH=2 timeout 3000 python bench.py \
+  > /tmp/train_r05_line.json 2>/tmp/train_r05.err \
+  && echo "[captures] train B=2 ok" >&2 \
+  || echo "[captures] train B=2 FAILED (see /tmp/train_r05.err)" >&2
+
+echo "[captures] 2/4 train step B=4 fit probe" >&2
+# NOT named TRAIN_r*.json -- gen_perf_tables globs that pattern for the
+# headline row; the B=4 point is merged into TRAIN_r05.json below.
+BENCH_MODE=train BENCH_BATCH=4 PROBE_REPEATS=3 PROBE_OUT=TRAIN_B4_r05.json \
+  timeout 3000 python bench.py \
+  > /tmp/train_r05_b4_line.json 2>/tmp/train_r05_b4.err \
+  && echo "[captures] train B=4 ok" >&2 \
+  || echo "[captures] train B=4 FAILED/OOM (see /tmp/train_r05_b4.err)" >&2
+
+python - <<'PYEOF'
+import json, os
+if os.path.exists("TRAIN_r05.json"):
+    with open("TRAIN_r05.json") as f:
+        main = json.load(f)
+    if os.path.exists("TRAIN_B4_r05.json"):
+        with open("TRAIN_B4_r05.json") as f:
+            b4 = json.load(f)
+        main["b4_value"] = f"{b4['value']:.1f} ms/step"
+        main["b4_note"] = (
+            f"measured, fits 1 chip ({b4.get('tokens_per_sec', 0):.0f} "
+            f"tok/s, MFU {b4.get('train_mfu', 0):.3f}), TRAIN_B4_r05.json")
+    elif os.path.exists("/tmp/train_r05_b4.err"):
+        err = open("/tmp/train_r05_b4.err").read()
+        if "RESOURCE_EXHAUSTED" in err or "Out of memory" in err.lower():
+            main["b4_value"] = "OOM on 1 chip"
+            main["b4_note"] = "measured OOM; budget predicted marginal fit"
+    with open("TRAIN_r05.json", "w") as f:
+        json.dump(main, f, indent=1)
+PYEOF
+
+echo "[captures] 3/4 13B int4 cached Bc=8 (BENCH_13B_INT4.json)" >&2
+BENCH_LLAMA=13b BENCH_BATCH=4 BENCH_WQ=int4 BENCH_CACHE_BATCH=8 \
+  timeout 3000 python bench.py \
+  > /tmp/bench_13b_int4.json 2>/tmp/bench_13b_int4.err \
+  && cp /tmp/bench_13b_int4.json BENCH_13B_INT4.json \
+  && echo "[captures] 13B int4 Bc=8 ok" >&2 \
+  || echo "[captures] 13B int4 Bc=8 FAILED (see /tmp/bench_13b_int4.err)" >&2
+
+echo "[captures] 4/4 13B int4 cached Bc=4 (BENCH_13B_INT4_b4.json)" >&2
+BENCH_LLAMA=13b BENCH_BATCH=4 BENCH_WQ=int4 BENCH_CACHE_BATCH=4 \
+  timeout 3000 python bench.py \
+  > /tmp/bench_13b_int4_b4.json 2>/tmp/bench_13b_int4_b4.err \
+  && cp /tmp/bench_13b_int4_b4.json BENCH_13B_INT4_b4.json \
+  && echo "[captures] 13B int4 Bc=4 ok" >&2 \
+  || echo "[captures] 13B int4 Bc=4 FAILED (see /tmp/bench_13b_int4_b4.err)" >&2
+
+python scripts/gen_perf_tables.py >&2 || true
+echo "[captures] done" >&2
