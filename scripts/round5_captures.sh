@@ -51,7 +51,7 @@ if os.path.exists("TRAIN_r05.json"):
             f"tok/s, MFU {b4.get('train_mfu', 0):.3f}), TRAIN_B4_r05.json")
     elif os.path.exists("/tmp/train_r05_b4.err"):
         err = open("/tmp/train_r05_b4.err").read()
-        if "RESOURCE_EXHAUSTED" in err or "Out of memory" in err.lower():
+        if "RESOURCE_EXHAUSTED" in err or "out of memory" in err.lower():
             main["b4_value"] = "OOM on 1 chip"
             main["b4_note"] = "measured OOM; budget predicted marginal fit"
     with open("TRAIN_r05.json", "w") as f:
