@@ -304,7 +304,8 @@ def tp2_throughput_estimates() -> Dict[str, Dict]:
       - SAM ViT-H int8 encode: 2711 ms per 8 images (`BENCH_r04.json`
         legs line) == 1356 ms per 4 images; the encoder is identical at
         7B/13B.
-      - 7B QLoRA train step B=2: 1845.8 ms (`TRAIN_7B_QLORA.json`).
+      - 7B QLoRA train step B=2: 1818.8 ms (`TRAIN_r05.json`, hardened
+        5x32-step protocol).
 
     Assumptions:
       - The 13B decode/prefill legs are int8-weight-read bound, so TP-2
@@ -334,7 +335,7 @@ def tp2_throughput_estimates() -> Dict[str, Dict]:
         "measured_streaming_b2_1chip": 1.33,
     }
     # training: scale the measured 7B QLoRA step
-    t7 = 1.8458                        # s/step (TRAIN_7B_QLORA)
+    t7 = 1.8188                        # s/step (TRAIN_r05)
     llama_share = 0.55
     t13_1chip = t7 * (llama_share * 1.92 + (1 - llama_share))
     t13_tp2 = t7 * (llama_share * 1.92 / 1.8 + (1 - llama_share))
@@ -342,7 +343,7 @@ def tp2_throughput_estimates() -> Dict[str, Dict]:
         "qlora_b2_13b_tp2_ms_per_step": round(t13_tp2 * 1e3, 1),
         "qlora_b2_13b_1chip_ms_per_step_if_it_fit": round(
             t13_1chip * 1e3, 1),
-        "qlora_b2_7b_measured_ms": 1845.8,
+        "qlora_b2_7b_measured_ms": 1818.8,
     }
     return {"serving_13b": serving, "training_13b": training,
             "analytic": True}

@@ -160,7 +160,7 @@ def table_tp2():
         "(`BENCH_13B_b2.json`) |",
         f"| QLoRA train step, B=2 | "
         f"{tr['qlora_b2_13b_tp2_ms_per_step']:.0f} ms/step | 7B measured "
-        f"{tr['qlora_b2_7b_measured_ms']:.1f} ms (`TRAIN_7B_QLORA.json`) |",
+        f"{tr['qlora_b2_7b_measured_ms']:.1f} ms (`TRAIN_r05.json`) |",
         "",
         "Derivation + assumptions: "
         "`interactvlm_tpu/utils/memory.py:tp2_throughput_estimates` "
