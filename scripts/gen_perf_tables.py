@@ -89,14 +89,15 @@ def table_13b():
         f"{_spread(b2['uncached_value'], b2['uncached_spread'])} | "
         f"{b2['uncached_vs_baseline']:.2f}x |",
     ]
-    i4_path = os.path.join(ROOT, "BENCH_13B_INT4.json")
-    if os.path.exists(i4_path):
-        i4 = _load("BENCH_13B_INT4.json")
+    for fname in ("BENCH_13B_INT4_b8.json", "BENCH_13B_INT4.json"):
+        if not os.path.exists(os.path.join(ROOT, fname)):
+            continue
+        i4 = _load(fname)
         i4 = i4.get("parsed", i4)
         bc = i4.get("cache_batch") or i4["metric"].split("_b")[-1]
         rows.append(
             "| **int4 weights**, cached views, "
-            f"B={bc} (`BENCH_13B_INT4.json`) | "
+            f"B={bc} (`{fname}`) | "
             f"**{_spread(i4['value'], i4['value_spread'])}** | "
             f"**{i4['vs_baseline']:.2f}x** (band "
             f"{i4['vs_baseline_range'][0]:.2f}–"

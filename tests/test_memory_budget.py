@@ -206,3 +206,28 @@ def test_int4_param_bytes_matches_live_tree():
     i8 = llama_param_bytes(llama_13b(dtype=jnp.bfloat16, weights_int8=True))
     i4 = llama_param_bytes(llama_13b(dtype=jnp.bfloat16, weights_int4=True))
     assert 0.45 < i4 / i8 < 0.60, (i4, i8)
+
+
+def test_13b_int4_cached_serving_fits_bc16():
+    """The round-5 13B headline (9.21 img/s, `BENCH_13B_INT4.json`) runs
+    int4 weights at cache-batch 16 on one 15.75 GiB chip; the conservative
+    serving budget must agree it fits (it measured-runs), and must show
+    int8 does NOT fit at the same batch (the int4 headroom is the win)."""
+    cfg_i4 = InteractVLMConfig(
+        llama=llama_13b(dtype=jnp.bfloat16, weights_int4=True),
+        clip=clip_vit_l_14(dtype=jnp.bfloat16),
+        sam=sam_vit_h(dtype=jnp.bfloat16, weights_int8=True),
+        seg_token_idx=32000, img_emb_len=255,
+        multiview_channels=4, out_dim=256)
+    b = serving_budget(cfg_i4, batch=16, max_len=351, views=4,
+                       prompt_len=319, kv="int8")
+    assert b.fits(V5E_HBM_BYTES), b.table()
+    cfg_i8 = InteractVLMConfig(
+        llama=llama_13b(dtype=jnp.bfloat16, weights_int8=True),
+        clip=clip_vit_l_14(dtype=jnp.bfloat16),
+        sam=sam_vit_h(dtype=jnp.bfloat16, weights_int8=True),
+        seg_token_idx=32000, img_emb_len=255,
+        multiview_channels=4, out_dim=256)
+    b8 = serving_budget(cfg_i8, batch=16, max_len=351, views=4,
+                        prompt_len=319, kv="int8")
+    assert not b8.fits(V5E_HBM_BYTES), b8.table()
