@@ -191,6 +191,10 @@ def build_lift_maps(
       bary: (V, S, S, 3) float32,
       pix_to_face: (V, S, S) int32.
     """
+    # accept host numpy inputs: a traced gather index into a numpy array
+    # (faces[safe] under the vmap below) raises TracerArrayConversionError
+    verts = jnp.asarray(verts)
+    faces = jnp.asarray(faces)
 
     def one_view(cp):
         pix_to_face, bary, _ = rasterize_mesh(

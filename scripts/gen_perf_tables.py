@@ -65,8 +65,27 @@ def table_7b():
         f"{j['vs_baseline_range'][0]:.1f}–"
         f"{j['vs_baseline_range'][1]:.1f}) | {j['mfu']:.2f} |",
     ]
-    rows.append(f"\nSource artifact: `{src}` (driver capture of "
-                f"`python bench.py`, metric `{j['metric']}`).")
+    srcs = [f"`{src}` (driver capture of `python bench.py`, metric "
+            f"`{j['metric']}`)"]
+    # int4 weights free ~3 GiB of HBM at 7B, lifting the cached-batch
+    # ceiling past int8's Bc=32 — the decode weight read is the only
+    # per-image cost that amortizes with Bc (ops/README.md int4 section).
+    i4_name = "BENCH_7B_INT4_b64.json"
+    if os.path.exists(os.path.join(ROOT, i4_name)):
+        i4 = _load(i4_name)
+        i4 = i4.get("parsed", i4)
+        rows.append(
+            "| **int4 weights, cached batch "
+            f"{i4.get('cache_batch', 64)}** (int4 halves the weight HBM, "
+            "doubling the cache-batch ceiling; decode weight reads "
+            "amortize over 2x the images) | "
+            f"**{_spread(i4['value'], i4['value_spread'])}** | "
+            f"**{i4['vs_baseline']:.2f}x** (band "
+            f"{i4['vs_baseline_range'][0]:.1f}–"
+            f"{i4['vs_baseline_range'][1]:.1f}) | {i4['mfu']:.2f} |"
+        )
+        srcs.append(f"`{i4_name}`")
+    rows.append("\nSource artifacts: " + "; ".join(srcs) + ".")
     return "\n".join(rows)
 
 
@@ -103,6 +122,24 @@ def table_13b():
             f"{i4['vs_baseline_range'][0]:.2f}–"
             f"{i4['vs_baseline_range'][1]:.2f}) |"
         )
+    # int4 also halves the 13B weight ARGUMENTS (12.3 -> 6.3 GiB), which
+    # is what blocked single-chip streaming — int8 13B streaming needs
+    # TP-2; int4 may fit B=4 on one chip (captured if the run succeeded).
+    for fname, b in (("BENCH_13B_INT4_stream.json", 4),
+                     ("BENCH_13B_INT4_stream_b2.json", 2)):
+        if not os.path.exists(os.path.join(ROOT, fname)):
+            continue
+        s4 = _load(fname)
+        s4 = s4.get("parsed", s4)
+        if "uncached_value" not in s4:
+            continue
+        rows.append(
+            f"| **int4 weights, streaming, B={b}** — single-chip 13B "
+            f"streaming, unreachable in int8 (`{fname}`) | "
+            f"**{_spread(s4['uncached_value'], s4['uncached_spread'])}** | "
+            f"**{s4['uncached_vs_baseline']:.2f}x** |"
+        )
+        break
     return "\n".join(rows)
 
 
