@@ -179,6 +179,54 @@ def serving_budget(cfg, batch: int, max_len: int, views: int,
     })
 
 
+def cached_activation_bytes(cfg, cache_batch: int, views: int,
+                            prompt_len: int) -> int:
+    """Peak temps of the CACHED serving program (encode-once path).
+
+    The streaming ``activation_bytes`` term models the SAM-encode peak at
+    ``batch*views`` 1024-pixel views — the cached program never runs the
+    encoder, so that term overestimates its working set ~6x and would call
+    every measured cached config infeasible. The cached program's temps
+    scale per cached row: prefill MLP intermediates, the spliced embedding
+    assembly, the mask-decoder tail over ``views`` per-row canonical
+    embeddings, and the low-res upscale. Coefficients are the program
+    structure (copies XLA keeps live); the single scale factor is
+    calibrated on a measured OOM: 7B-int4 Bc=64 compiles to a 17.02 GiB
+    program on a 15.75 GiB chip (round-5 capture log).
+    """
+    lc, s = cfg.llama, cfg.sam
+    tokens = s.image_embedding_size ** 2
+    per_row = (
+        prompt_len * lc.intermediate_size * 2 * 2      # prefill MLP, bf16
+        + prompt_len * lc.hidden_size * 2 * 3          # splice assembly
+        + views * tokens * s.prompt_embed_dim * 4 * 4  # two-way tail, f32
+        + views * (2 * s.image_embedding_size) ** 2 * (
+            s.prompt_embed_dim // 4) * 4 * 2           # upscale stages
+    )
+    return int(0.9 * cache_batch * per_row)            # calibrated
+
+
+def cached_serving_budget(cfg, cache_batch: int, max_len: int, views: int,
+                          prompt_len: int, kv: str = "int8",
+                          tp: int = 1) -> ServingBudget:
+    """HBM budget of the encode-once cached serving program at ``Bc``.
+
+    Differs from ``serving_budget`` only in the activation term (see
+    ``cached_activation_bytes``); the canonical view embeddings and
+    low-res lift maps it adds as arguments are <40 MB and ride inside the
+    calibrated activation factor.
+    """
+    return ServingBudget({
+        "llama_params": llama_param_bytes(cfg.llama, tp=tp),
+        "kv_cache": kv_cache_bytes(cfg.llama, cache_batch, max_len, kv,
+                                   tp=tp),
+        "sam_params": sam_param_bytes(cfg.sam),
+        "clip_params": clip_param_bytes(cfg.clip),
+        "activations": cached_activation_bytes(cfg, cache_batch, views,
+                                               prompt_len),
+    })
+
+
 # --- training budget (VERDICT r3 #7) ----------------------------------------
 def trainable_param_count(cfg) -> int:
     """Trainable parameters under the reference's freeze policy

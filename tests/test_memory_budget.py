@@ -231,3 +231,31 @@ def test_13b_int4_cached_serving_fits_bc16():
     b8 = serving_budget(cfg_i8, batch=16, max_len=351, views=4,
                         prompt_len=319, kv="int8")
     assert not b8.fits(V5E_HBM_BYTES), b8.table()
+
+def test_cached_serving_budget_matches_measured_points():
+    """`cached_serving_budget` models the encode-once program's real
+    working set (the streaming activation term overestimates it ~6x).
+    Calibrated on the round-5 measured OOM: 7B-int4 Bc=64 compiled to a
+    17.02 GiB program on the 15.75 GiB chip. It must reproduce every
+    measured fit/no-fit cached config."""
+    from interactvlm_tpu.utils.memory import cached_serving_budget
+
+    def mk(llama, wq):
+        wkw = dict(weights_int8=wq == "int8", weights_int4=wq == "int4")
+        return InteractVLMConfig(
+            llama=llama(dtype=jnp.bfloat16, **wkw),
+            clip=clip_vit_l_14(dtype=jnp.bfloat16),
+            sam=sam_vit_h(dtype=jnp.bfloat16, weights_int8=True),
+            seg_token_idx=32000, img_emb_len=255,
+            multiview_channels=4, out_dim=256)
+
+    # measured running on the chip (BENCH_r04 / BENCH_13B*.json)
+    for llama, wq, bc in [(llama_7b, "int8", 32), (llama_13b, "int8", 4),
+                          (llama_13b, "int4", 8), (llama_13b, "int4", 16)]:
+        b = cached_serving_budget(mk(llama, wq), bc, 351, 4, 319)
+        assert b.fits(V5E_HBM_BYTES), (wq, bc, b.table())
+    # measured OOM (round-5 capture log: 17.02 GiB needed); the model must
+    # agree it does not fit AND land within ~5% of the XLA-reported size
+    b64 = cached_serving_budget(mk(llama_7b, "int4"), 64, 351, 4, 319)
+    assert not b64.fits(V5E_HBM_BYTES), b64.table()
+    assert abs(b64.total / 1024 ** 3 - 17.02) < 0.9, b64.total / 1024 ** 3
