@@ -65,10 +65,18 @@ def main():
         "PROBE_STEPS", "32" if on_tpu else "2"))
 
     int8_base = os.environ.get("PROBE_INT8", "0") == "1"
+    # PROBE_SAM_INT8=1: store the FROZEN SAM encoder in the serving int8
+    # layout (Int8Dense + tanh GELU, parity-tested <=3e-3 activation
+    # deviation, tests/test_sam.py). QLoRA already quantizes the frozen
+    # LLaMA base; the frozen vision tower is the same move, and the
+    # encoder is forward-only under stop_gradient so no gradient path
+    # changes -- only the encode leg's wall time and weight HBM.
+    sam_int8 = os.environ.get("PROBE_SAM_INT8", "0") == "1"
     if size == "tiny":  # CPU smoke of this probe itself
         dtype = jnp.float32
         cfg = cfgs.interactvlm_tiny(
-            llama=cfgs.llama_tiny(lora_rank=4, weights_int8=int8_base)
+            llama=cfgs.llama_tiny(lora_rank=4, weights_int8=int8_base),
+            sam=cfgs.sam_tiny(weights_int8=sam_int8),
         )
         lcfg = cfg.llama
     else:
@@ -82,7 +90,8 @@ def main():
         cfg = cfgs.InteractVLMConfig(
             llama=lcfg,
             clip=cfgs.clip_vit_l_14(dtype=dtype),
-            sam=cfgs.sam_vit_h(dtype=dtype),
+            sam=cfgs.sam_vit_h(dtype=dtype, weights_int8=sam_int8,
+                               gelu_approx=sam_int8 and on_tpu),
             seg_token_idx=min(lcfg.vocab_size - 1, 32000),
             img_emb_len=cfgs.clip_vit_l_14().num_patches - 1,
             multiview_channels=V,
@@ -138,6 +147,72 @@ def main():
     ms = float(np.median(times)) * 1e3
     eff_b = B * accum
 
+    # ---- PROBE_LEGS=1: attribute the step (VERDICT r04 "train-step
+    # measurement is thin"). Three jitted legs, each a fori_loop with a
+    # data dependence (the axon tunnel's block_until_ready does not
+    # block; a loop-carried scalar forces real execution):
+    #   sam_encode_fwd -- the frozen encoder forward at B*V views;
+    #   loss_fwd       -- the full train-loss forward (no backward);
+    # backward+update = full step - loss_fwd; llama+tail fwd =
+    # loss_fwd - sam_encode_fwd.
+    legs = None
+    if os.environ.get("PROBE_LEGS", "0") == "1":
+        from interactvlm_tpu.models.interactvlm import InteractVLM as IV
+
+        leg_steps = int(os.environ.get(
+            "PROBE_LEG_STEPS", "8" if on_tpu else "2"))
+
+        def timed(label, loop_fn, *args):
+            fn = jax.jit(loop_fn)
+            t0 = time.perf_counter()
+            s = float(np.asarray(jax.device_get(fn(*args))))
+            log(f"leg {label} compile {time.perf_counter() - t0:.1f}s")
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                s = float(np.asarray(jax.device_get(fn(*args))))
+                assert np.isfinite(s), label
+                ts.append((time.perf_counter() - t0) / leg_steps)
+            med = float(np.median(ts)) * 1e3
+            log(f"leg {label}: {med:.1f} ms "
+                f"[{min(ts) * 1e3:.1f}-{max(ts) * 1e3:.1f}]")
+            return round(med, 1)
+
+        imgs = micro["sam_images"]
+
+        def sam_loop(p, im):
+            def body(i, c):
+                emb = model.apply(
+                    p, im + (0.0 * c).astype(im.dtype),
+                    method=IV.encode_sam_images,
+                )
+                return c + emb.mean().astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, leg_steps, body, jnp.float32(0.0))
+
+        def fwd_loop(p, b):
+            def body(i, c):
+                b2 = dict(b)
+                b2["sam_images"] = b["sam_images"] + (0.0 * c).astype(
+                    b["sam_images"].dtype
+                )
+                out = model.apply(p, b2)
+                return c + out["loss"].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, leg_steps, body, jnp.float32(0.0))
+
+        with mesh:
+            sam_ms = timed("sam_encode_fwd", sam_loop, state.params, imgs)
+            fwd_ms = timed("loss_fwd", fwd_loop, state.params, micro)
+        legs = {
+            "sam_encode_fwd_ms": sam_ms,
+            "loss_fwd_ms": fwd_ms,
+            "llama_tail_fwd_ms": round(fwd_ms - sam_ms, 1),
+            "bwd_update_ms": round(ms / accum - fwd_ms, 1),
+            "leg_steps": leg_steps,
+        }
+        log(f"legs: {legs}")
+
     # analytic train-MFU: SAM encoder runs forward-only (frozen +
     # stop_gradient, models/interactvlm.py:encode_sam_images); the LLaMA
     # base and CLIP are frozen so their backward is activation-grads only
@@ -158,7 +233,8 @@ def main():
     tokens_per_sec = eff_b * Lp / (ms / 1e3)
     print(json.dumps({
         "metric": f"train_step_ms_llama{size}"
-                  f"{'-int8base' if int8_base else ''}_lora{lcfg.lora_rank}_"
+                  f"{'-int8base' if int8_base else ''}"
+                  f"{'-samint8' if sam_int8 else ''}_lora{lcfg.lora_rank}_"
                   f"b{B}x{accum}_{V}view_seq{L_TEXT + 255}_mask{mask_size}",
         "value": round(ms, 1),
         "unit": "ms/step",
@@ -174,12 +250,14 @@ def main():
         "seq_len": Lp,
         "tokens_per_sec": round(tokens_per_sec, 1),
         "train_mfu": round(train_mfu, 4),
+        **({"legs": legs} if legs else {}),
     }, ))
     if os.environ.get("PROBE_OUT"):
         with open(os.environ["PROBE_OUT"], "w") as f:
             json.dump({
                 "metric": f"train_step_ms_llama{size}"
-                          f"{'-int8base' if int8_base else ''}_"
+                          f"{'-int8base' if int8_base else ''}"
+                          f"{'-samint8' if sam_int8 else ''}_"
                           f"lora{lcfg.lora_rank}_b{B}x{accum}_{V}view_"
                           f"seq{Lp}_mask{mask_size}",
                 "value": round(ms, 1), "unit": "ms/step",
@@ -194,6 +272,7 @@ def main():
                 "budget_gib": round(bud.total / 2**30, 2),
                 "budget_fits": bud.fits(),
                 "final_loss": round(loss, 4),
+                **({"legs": legs} if legs else {}),
             }, f, indent=2)
 
 
