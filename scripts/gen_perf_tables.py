@@ -108,7 +108,8 @@ def table_13b():
         f"{_spread(b2['uncached_value'], b2['uncached_spread'])} | "
         f"{b2['uncached_vs_baseline']:.2f}x |",
     ]
-    for fname in ("BENCH_13B_INT4_b8.json", "BENCH_13B_INT4.json"):
+    for fname in ("BENCH_13B_INT4_b8.json", "BENCH_13B_INT4.json",
+                  "BENCH_13B_INT4_b24.json", "BENCH_13B_INT4_b32.json"):
         if not os.path.exists(os.path.join(ROOT, fname)):
             continue
         i4 = _load(fname)
